@@ -1,0 +1,173 @@
+"""GRNet: frozen HRNet backbone + PARE head + SMPL regressor, composed in JAX.
+
+Re-design of the reference top model (/root/reference/lib/models/grnet.py).
+The flax module covers the neural trunk (backbone + head [+ gait-feature
+corrector]); the SMPL regression (reference VPRegressor, pare.py:24-91) is a
+pure function over the SMPLParams pytree, so the *entire* video->mesh
+forward traces into one XLA program: reshape (B,T,...) -> conv trunk ->
+attention pooling -> rot6d -> LBS -> projection -> output dict.
+
+Output contract matches grnet.py:171 / pare.py:78-84:
+  [{'theta': (B,T,85), 'verts': (B,T,6890,3), 'kp_2d': (B,T,J,2),
+    'kp_3d': (B,T,J,3), 'rotmat': (B,T,24,3,3)}]
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from gaitlab.body import smpl as body_smpl
+from gaitlab.core import geometry
+from gaitlab.nn.hrnet import HRNetCfg, PoseHighResolutionNet
+from gaitlab.nn.pare_head import PareHead
+
+Array = jax.Array
+
+
+class GRNetCore(nn.Module):
+    """Neural trunk: HRNet-W32 backbone (frozen) + PARE head.
+
+    Mirrors grnet.py:52-65,129-152. The optional gait-feature corrector
+    (grnet.py:154-169) is wired in by gaitlab.nn.gait when enabled.
+    """
+
+    num_joints: int = 24
+    num_input_features: int = 480
+    num_features_pare: int = 128
+    num_features_smpl: int = 64
+    backbone_width: int = 32
+    freeze_backbone: bool = True
+
+    def setup(self):
+        self.backbone = PoseHighResolutionNet(
+            HRNetCfg.w(self.backbone_width, downsample=False, use_conv=True),
+            name="backbone",
+        )
+        self.head = PareHead(
+            num_joints=self.num_joints,
+            num_input_features=self.num_input_features,
+            num_features_pare=self.num_features_pare,
+            num_features_smpl=self.num_features_smpl,
+            name="head",
+        )
+
+    def __call__(self, images: Array, train: bool = False) -> dict:
+        """images: (N, 224, 224, 3) normalized crops (NHWC)."""
+        features = self.backbone(images, train=False)  # frozen: BN inference
+        if self.freeze_backbone:
+            features = jax.lax.stop_gradient(features)  # grnet.py:145-146
+        return self.head(features)
+
+    def head_predict(self, point_local_feat: Array, cam_shape_feats: Array) -> dict:
+        return self.head.predict(point_local_feat, cam_shape_feats)
+
+
+def vp_regress(
+    smpl_params: body_smpl.SMPLParams,
+    patt_output: dict,
+    batch_size: int = 1,
+    J_regressor: Optional[Array] = None,
+    joint_mode: str = "spin2",
+    focal_length: float = 5000.0,
+    img_res: int = 224,
+) -> list[dict]:
+    """SMPL regression + output assembly (reference VPRegressor.forward,
+    pare.py:52-91)."""
+    pred_rotmat = patt_output["pred_pose"]  # (N,24,3,3)
+    n = pred_rotmat.shape[0]
+    smpl_out = body_smpl.smpl_head(
+        smpl_params,
+        pred_rotmat,
+        patt_output["pred_shape"],
+        cam=patt_output["pred_cam"],
+        focal_length=focal_length,
+        img_res=img_res,
+        normalize_joints2d=True,
+        joint_mode=joint_mode,
+    )
+    pose = geometry.rotmat_to_axis_angle(pred_rotmat.reshape(-1, 3, 3)).reshape(n, 72)
+    seqlen = n // batch_size
+
+    joints3d = smpl_out["smpl_joints3d"]
+    if J_regressor is not None:
+        pred_joints = jnp.einsum(
+            "jv,nvk->njk", J_regressor, smpl_out["smpl_vertices"],
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        if J_regressor.shape[0] < 24:
+            pred_joints = pred_joints[:, list(body_smpl.H36M_TO_J14)]
+        joints3d = pred_joints
+
+    theta = jnp.concatenate(
+        [patt_output["pred_cam"], pose, patt_output["pred_shape"]], axis=1
+    )
+    out = {
+        "theta": theta.reshape(batch_size, seqlen, -1),
+        "verts": smpl_out["smpl_vertices"].reshape(batch_size, seqlen, -1, 3),
+        "kp_2d": smpl_out["smpl_joints2d"].reshape(batch_size, seqlen, -1, 2),
+        "kp_3d": joints3d.reshape(batch_size, seqlen, -1, 3),
+        "rotmat": pred_rotmat.reshape(batch_size, seqlen, -1, 3, 3),
+    }
+    for k in ("pred_avg", "pred_phase"):  # gait branch extras (pare.py:85-89)
+        if k in patt_output:
+            out[k] = patt_output[k]
+    return [out]
+
+
+@dataclass
+class GRNet:
+    """Bundled model: flax trunk + variables + SMPL params.
+
+    `forward` accepts the reference input contract — (B,T,3,224,224) or
+    (T,3,224,224) channel-first crops (grnet.py:129-143) — or NHWC
+    (N,224,224,3), and returns the reference-style output list.
+    """
+
+    module: GRNetCore
+    variables: Any
+    smpl: body_smpl.SMPLParams
+    joint_mode: str = "spin2"
+
+    @staticmethod
+    def create(
+        smpl_params: Optional[body_smpl.SMPLParams] = None,
+        seed: int = 0,
+        joint_mode: str = "spin2",
+        **module_kwargs,
+    ) -> "GRNet":
+        module = GRNetCore(**module_kwargs)
+        rng = jax.random.PRNGKey(seed)
+        variables = module.init(rng, jnp.zeros((1, 224, 224, 3), jnp.float32))
+        if smpl_params is None:
+            smpl_params = body_smpl.synthetic_smpl_params()
+        return GRNet(module=module, variables=variables, smpl=smpl_params,
+                     joint_mode=joint_mode)
+
+    def trunk(self, images_nhwc: Array) -> dict:
+        return self.module.apply(self.variables, images_nhwc)
+
+    def forward(
+        self, images: Array, J_regressor: Optional[Array] = None
+    ) -> list[dict]:
+        if images.ndim == 5:  # (B,T,3,H,W)
+            b, t = images.shape[:2]
+            x = images.reshape((-1,) + images.shape[2:])
+        elif images.ndim == 4 and images.shape[1] == 3:  # (T,3,H,W)
+            b, t = 1, images.shape[0]
+            x = images
+        elif images.ndim == 4:  # (N,H,W,C) NHWC
+            b, t = 1, images.shape[0]
+            x = None
+        else:
+            raise ValueError(f"Wrong input rank: {images.shape}")
+        nhwc = images if x is None else jnp.transpose(x, (0, 2, 3, 1))
+        patt = self.trunk(nhwc)
+        return vp_regress(
+            self.smpl, patt, batch_size=b, J_regressor=J_regressor,
+            joint_mode=self.joint_mode,
+        )

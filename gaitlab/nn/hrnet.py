@@ -1,0 +1,288 @@
+"""HRNet-W32/W48 pose backbone in Flax (NHWC, XLA convolutions).
+
+Re-design of the reference backbone (/root/reference/lib/models/hrnet.py):
+same topology (stem, Bottleneck layer1, 3 multi-resolution stages with fuse
+layers, bilinear-upsample heads concatenating branches 2-4 onto branch 1 ->
+(N, 56, 56, 480) for the deployed downsample=False/use_conv=True config),
+but NHWC tensors, statically-unrolled branch structure, and matmul-based
+align_corners=True resizes (see layers.upsample_bilinear_align_corners).
+
+Submodule names mirror the torch module paths for mechanical weight import.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from gaitlab.nn.layers import (
+    batch_norm,
+    conv,
+    upsample_bilinear_align_corners,
+    upsample_nearest,
+)
+
+Array = jax.Array
+
+
+# ---------------------------------------------------------------------------
+# config (reference hrnet.py:584-623 get_cfg_defaults)
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class StageCfg:
+    num_modules: int
+    num_branches: int
+    num_blocks: tuple
+    num_channels: tuple
+    block: str  # 'BASIC' | 'BOTTLENECK'
+
+
+@dataclass(frozen=True)
+class HRNetCfg:
+    width: int = 32
+    downsample: bool = False
+    use_conv: bool = True
+    stage2: StageCfg = None
+    stage3: StageCfg = None
+    stage4: StageCfg = None
+    final_conv_kernel: int = 1
+    num_joints: int = 24
+
+    @staticmethod
+    def w(width: int = 32, downsample: bool = False, use_conv: bool = True) -> "HRNetCfg":
+        return HRNetCfg(
+            width=width,
+            downsample=downsample,
+            use_conv=use_conv,
+            stage2=StageCfg(1, 2, (4, 4), (width, width * 2), "BASIC"),
+            stage3=StageCfg(4, 3, (4, 4, 4), (width, width * 2, width * 4), "BASIC"),
+            stage4=StageCfg(3, 4, (4, 4, 4, 4),
+                            (width, width * 2, width * 4, width * 8), "BASIC"),
+        )
+
+
+# ---------------------------------------------------------------------------
+# blocks
+# ---------------------------------------------------------------------------
+
+class BasicBlock(nn.Module):
+    planes: int
+    stride: int = 1
+    has_downsample: bool = False
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        residual = x
+        out = conv(self.planes, 3, self.stride, name="conv1")(x)
+        out = batch_norm(train, name="bn1")(out)
+        out = nn.relu(out)
+        out = conv(self.planes, 3, 1, name="conv2")(out)
+        out = batch_norm(train, name="bn2")(out)
+        if self.has_downsample:
+            residual = conv(self.planes, 1, self.stride, padding=0,
+                            name="downsample_0")(x)
+            residual = batch_norm(train, name="downsample_1")(residual)
+        return nn.relu(out + residual)
+
+
+class Bottleneck(nn.Module):
+    planes: int
+    stride: int = 1
+    has_downsample: bool = False
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        residual = x
+        out = conv(self.planes, 1, 1, padding=0, name="conv1")(x)
+        out = batch_norm(train, name="bn1")(out)
+        out = nn.relu(out)
+        out = conv(self.planes, 3, self.stride, name="conv2")(out)
+        out = batch_norm(train, name="bn2")(out)
+        out = nn.relu(out)
+        out = conv(self.planes * self.expansion, 1, 1, padding=0, name="conv3")(out)
+        out = batch_norm(train, name="bn3")(out)
+        if self.has_downsample:
+            residual = conv(self.planes * self.expansion, 1, self.stride,
+                            padding=0, name="downsample_0")(x)
+            residual = batch_norm(train, name="downsample_1")(residual)
+        return nn.relu(out + residual)
+
+
+class HighResolutionModule(nn.Module):
+    """Parallel branches + full cross-resolution fusion (hrnet.py:103-267)."""
+
+    num_branches: int
+    num_blocks: tuple
+    num_inchannels: tuple  # per-branch channels (BASIC: == num_channels)
+    num_channels: tuple
+    multi_scale_output: bool = True
+
+    @nn.compact
+    def __call__(self, xs: list, train: bool = False) -> list:
+        # branches
+        outs = []
+        for i in range(self.num_branches):
+            x = xs[i]
+            for b in range(self.num_blocks[i]):
+                has_ds = b == 0 and self.num_inchannels[i] != self.num_channels[i]
+                x = BasicBlock(
+                    self.num_channels[i], 1, has_downsample=has_ds,
+                    name=f"branches_{i}_{b}",
+                )(x, train)
+            outs.append(x)
+
+        if self.num_branches == 1:
+            return outs
+
+        # fuse layers
+        n_out = self.num_branches if self.multi_scale_output else 1
+        fused = []
+        for i in range(n_out):
+            y = None
+            for j in range(self.num_branches):
+                if j == i:
+                    z = outs[j]
+                elif j > i:
+                    z = conv(self.num_channels[i], 1, 1, padding=0,
+                             name=f"fuse_layers_{i}_{j}_0")(outs[j])
+                    z = batch_norm(train, name=f"fuse_layers_{i}_{j}_1")(z)
+                    z = upsample_nearest(z, 2 ** (j - i))
+                else:
+                    z = outs[j]
+                    for k in range(i - j):
+                        last = k == i - j - 1
+                        ch = self.num_channels[i] if last else self.num_channels[j]
+                        z = conv(ch, 3, 2, name=f"fuse_layers_{i}_{j}_{k}_0")(z)
+                        z = batch_norm(train, name=f"fuse_layers_{i}_{j}_{k}_1")(z)
+                        if not last:
+                            z = nn.relu(z)
+                y = z if y is None else y + z
+            fused.append(nn.relu(y))
+        return fused
+
+
+class PoseHighResolutionNet(nn.Module):
+    """Full backbone (hrnet.py:276-536). Input NHWC (N,224,224,3);
+    deployed output (N,56,56,480)."""
+
+    cfg: HRNetCfg
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        cfg = self.cfg
+        # stem: two stride-2 3x3 convs (hrnet.py:286-293)
+        x = conv(64, 3, 2, name="conv1")(x)
+        x = batch_norm(train, name="bn1")(x)
+        x = nn.relu(x)
+        x = conv(64, 3, 2, name="conv2")(x)
+        x = batch_norm(train, name="bn2")(x)
+        x = nn.relu(x)
+
+        # layer1: 4 Bottlenecks 64->256
+        in_ch = 64
+        for b in range(4):
+            x = Bottleneck(64, 1, has_downsample=(b == 0), name=f"layer1_{b}")(
+                x, train
+            )
+        # transitions + stages
+        def transition(prev: list, prev_ch: tuple, cur_ch: tuple, name: str) -> list:
+            outs = []
+            n_pre = len(prev_ch)
+            for i in range(len(cur_ch)):
+                if i < n_pre:
+                    if cur_ch[i] != prev_ch[i]:
+                        z = conv(cur_ch[i], 3, 1, name=f"{name}_{i}_0")(prev[i])
+                        z = batch_norm(train, name=f"{name}_{i}_1")(z)
+                        outs.append(nn.relu(z))
+                    else:
+                        outs.append(prev[i])
+                else:
+                    z = prev[-1]
+                    # hrnet.py:370-385: chain of stride-2 convs for new branches
+                    for j in range(i + 1 - n_pre):
+                        ch = cur_ch[i] if j == i - n_pre else prev_ch[-1]
+                        z = conv(ch, 3, 2, name=f"{name}_{i}_{j}_0")(z)
+                        z = batch_norm(train, name=f"{name}_{i}_{j}_1")(z)
+                        z = nn.relu(z)
+                    outs.append(z)
+            return outs
+
+        def stage(xs: list, scfg: StageCfg, name: str) -> list:
+            chans = tuple(scfg.num_channels)
+            for m in range(scfg.num_modules):
+                xs = HighResolutionModule(
+                    num_branches=scfg.num_branches,
+                    num_blocks=tuple(scfg.num_blocks),
+                    num_inchannels=tuple(a.shape[-1] for a in xs),
+                    num_channels=chans,
+                    name=f"{name}_{m}",
+                )(xs, train)
+            return xs
+
+        xs = transition([x], (256,), tuple(cfg.stage2.num_channels), "transition1")
+        xs = stage(xs, cfg.stage2, "stage2")
+        xs = transition(xs, tuple(cfg.stage2.num_channels),
+                        tuple(cfg.stage3.num_channels), "transition2")
+        xs = stage(xs, cfg.stage3, "stage3")
+        xs = transition(xs, tuple(cfg.stage3.num_channels),
+                        tuple(cfg.stage4.num_channels), "transition3")
+        xs = stage(xs, cfg.stage4, "stage4")
+
+        # heads (deployed: downsample=False, use_conv=True -> upsample_stage_k,
+        # hrnet.py:341-344, 519-524)
+        if not cfg.downsample and cfg.use_conv:
+            h, w = xs[0].shape[1], xs[0].shape[2]
+
+            def up_head(z: Array, reps: int, name: str) -> Array:
+                ch = z.shape[-1]
+                # torch Sequential per rep: [Upsample, Conv, BN, ReLU]
+                for r in range(reps):
+                    z = upsample_bilinear_align_corners(
+                        z, z.shape[1] * 2, z.shape[2] * 2
+                    )
+                    z = conv(ch, 3, 1, name=f"{name}_{4 * r + 1}")(z)
+                    z = batch_norm(train, name=f"{name}_{4 * r + 2}")(z)
+                    z = nn.relu(z)
+                return z
+
+            x1 = up_head(xs[1], 1, "upsample_stage_2")
+            x2 = up_head(xs[2], 2, "upsample_stage_3")
+            x3 = up_head(xs[3], 3, "upsample_stage_4")
+            return jnp.concatenate([xs[0], x1, x2, x3], axis=-1)
+        elif cfg.downsample and cfg.use_conv:
+            def down_head(z: Array, reps: int, name: str) -> Array:
+                ch = z.shape[-1]
+                for r in range(reps):
+                    z = conv(ch, 3, 2, name=f"{name}_{3 * r}")(z)
+                    z = batch_norm(train, name=f"{name}_{3 * r + 1}")(z)
+                    z = nn.relu(z)
+                return z
+
+            x0 = down_head(xs[0], 3, "downsample_stage_1")
+            x1 = down_head(xs[1], 2, "downsample_stage_2")
+            x2 = down_head(xs[2], 1, "downsample_stage_3")
+            return jnp.concatenate([x0, x1, x2, xs[3]], axis=-1)
+        else:
+            # interpolation-only heads (hrnet.py:512-517, 526-531)
+            if cfg.downsample:
+                h, w = xs[3].shape[1], xs[3].shape[2]
+                ys = [upsample_bilinear_align_corners(z, h, w) for z in xs[:3]]
+                return jnp.concatenate(ys + [xs[3]], axis=-1)
+            h, w = xs[0].shape[1], xs[0].shape[2]
+            ys = [upsample_bilinear_align_corners(z, h, w) for z in xs[1:]]
+            return jnp.concatenate([xs[0]] + ys, axis=-1)
+
+
+def hrnet_w32(downsample: bool = False, use_conv: bool = True) -> PoseHighResolutionNet:
+    """Deployed hrnet_w32 factory (hrnet.py:626-633): 480-channel output."""
+    return PoseHighResolutionNet(HRNetCfg.w(32, downsample, use_conv))
+
+
+def hrnet_w48(downsample: bool = False, use_conv: bool = True) -> PoseHighResolutionNet:
+    return PoseHighResolutionNet(HRNetCfg.w(48, downsample, use_conv))

@@ -288,6 +288,71 @@ def install_smplx_shim():
     sys.modules["smplx.lbs"] = lbs_mod
 
 
+def install_misc_shims():
+    """torchvision / timm stand-ins (only the pieces the reference touches)."""
+    import torch
+
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        models = types.ModuleType("torchvision.models")
+        resnet = types.ModuleType("torchvision.models.resnet")
+        transforms = types.ModuleType("torchvision.transforms")
+        tfunc = types.ModuleType("torchvision.transforms.functional")
+
+        class Compose:
+            def __init__(self, ts):
+                self.ts = ts
+
+            def __call__(self, x):
+                for t in self.ts:
+                    x = t(x)
+                return x
+
+        class ToTensor:
+            def __call__(self, x):
+                a = np.asarray(x)
+                t = torch.from_numpy(np.ascontiguousarray(a)).permute(2, 0, 1)
+                return t.float().div(255.0) if a.dtype == np.uint8 else t.float()
+
+        class Normalize:
+            def __init__(self, mean, std):
+                self.mean = torch.tensor(mean).view(-1, 1, 1)
+                self.std = torch.tensor(std).view(-1, 1, 1)
+
+            def __call__(self, x):
+                return (x - self.mean) / self.std
+
+        def to_tensor(x):
+            return ToTensor()(x)
+
+        transforms.Compose = Compose
+        transforms.ToTensor = ToTensor
+        transforms.Normalize = Normalize
+        transforms.functional = tfunc
+        tfunc.to_tensor = to_tensor
+        tv.models = models
+        tv.transforms = transforms
+        models.resnet = resnet
+        for m in (tv, models, resnet, transforms, tfunc):
+            sys.modules[m.__name__] = m
+
+    if "timm" not in sys.modules:
+        timm = types.ModuleType("timm")
+        tmodels = types.ModuleType("timm.models")
+        tlayers = types.ModuleType("timm.models.layers")
+
+        def trunc_normal_(tensor, mean=0.0, std=1.0, a=-2.0, b=2.0):
+            with torch.no_grad():
+                tensor.normal_(mean, std).clamp_(a * std, b * std)
+            return tensor
+
+        tlayers.trunc_normal_ = trunc_normal_
+        timm.models = tmodels
+        tmodels.layers = tlayers
+        for m in (timm, tmodels, tlayers):
+            sys.modules[m.__name__] = m
+
+
 def setup_ref_data_dir(tmpdir: str, seed: int = 0) -> str:
     """Create data/smpl_data + data/grnet_data files the reference expects.
 
@@ -322,6 +387,7 @@ def import_ref_lib():
     """
     install_yacs_shim()
     install_smplx_shim()
+    install_misc_shims()
     if REF not in sys.path:
         sys.path.insert(0, REF)
     import lib  # noqa: F401
