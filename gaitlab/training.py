@@ -1,0 +1,126 @@
+"""Training step for GRNet (SPIN/PARE-style keypoint + parameter losses).
+
+The reference ships no training code — its config carries a "TODO training
+params" marker (/root/reference/lib/core/config.py:41) and everything runs
+from pretrained checkpoints. A complete framework needs one anyway: this
+module provides the canonical loss (2D/3D keypoint MSE + SMPL pose/shape
+supervision, the standard objective for this model family) and a pure,
+jit-able `train_step` that composes with the ("data", "model") mesh from
+gaitlab.parallel — DP over the frame batch, TP over the big SMPL tensors.
+
+The backbone stays frozen (reference grnet.py:145-146 runs it under
+torch.no_grad); GRNetCore applies stop_gradient, so gradients flow to the
+PARE head only, matching the reference's fine-tuning regime.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from gaitlab.body import smpl as body_smpl
+from gaitlab.nn.grnet import GRNetCore, vp_regress
+
+Array = jax.Array
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: Array
+
+
+class LossWeights(NamedTuple):
+    kp_2d: float = 300.0
+    kp_3d: float = 300.0
+    pose: float = 60.0
+    shape: float = 0.06
+
+
+def create_train_state(params, optimizer: optax.GradientTransformation) -> TrainState:
+    return TrainState(params=params, opt_state=optimizer.init(params),
+                      step=jnp.zeros((), jnp.int32))
+
+
+def grnet_loss(
+    outputs: dict,
+    batch: dict,
+    weights: LossWeights = LossWeights(),
+) -> tuple[Array, dict]:
+    """Keypoint + parameter loss over one flat frame batch.
+
+    outputs: vp_regress output dict with batch_size=1 leading dims squeezed;
+    batch: {"kp_2d": (N,J,3) with confidence col, "kp_3d": (N,J,4) with
+    confidence col, "pose": (N,24,3,3) rotmats, "betas": (N,10),
+    "has_smpl": (N,)}.
+    """
+    pred_2d = outputs["kp_2d"]
+    pred_3d = outputs["kp_3d"]
+    gt_2d, conf_2d = batch["kp_2d"][..., :2], batch["kp_2d"][..., 2:]
+    gt_3d, conf_3d = batch["kp_3d"][..., :3], batch["kp_3d"][..., 3:]
+
+    l2d = jnp.mean(conf_2d * (pred_2d - gt_2d) ** 2)
+    # Pelvis-align 3D joints before comparing (standard MPJPE convention).
+    def center(x):
+        pelvis = (x[..., 2:3, :] + x[..., 3:4, :]) / 2.0
+        return x - pelvis
+    l3d = jnp.mean(conf_3d * (center(pred_3d) - center(gt_3d)) ** 2)
+
+    has = batch["has_smpl"][:, None, None, None]
+    lpose = jnp.mean(has * (outputs["rotmat"][0] - batch["pose"]) ** 2)
+    lshape = jnp.mean(
+        batch["has_smpl"][:, None] * (outputs["theta"][0, :, 75:] - batch["betas"]) ** 2
+    )
+
+    total = (weights.kp_2d * l2d + weights.kp_3d * l3d
+             + weights.pose * lpose + weights.shape * lshape)
+    return total, {"loss": total, "loss_kp_2d": l2d, "loss_kp_3d": l3d,
+                   "loss_pose": lpose, "loss_shape": lshape}
+
+
+def make_train_step(
+    module: GRNetCore,
+    smpl_params: body_smpl.SMPLParams,
+    optimizer: optax.GradientTransformation,
+    joint_mode: str = "spin2",
+    weights: LossWeights = LossWeights(),
+):
+    """Pure (state, batch) -> (state, metrics) step; jit/pjit it outside."""
+
+    def loss_fn(params, batch):
+        patt = module.apply(params, batch["images"], train=False)
+        out = vp_regress(smpl_params, patt, batch_size=1, joint_mode=joint_mode)[0]
+        return grnet_loss(out, batch, weights)
+
+    def train_step(state: TrainState, batch: dict):
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch
+        )
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    return train_step
+
+
+def synthetic_batch(n: int, img: int = 224, num_joints: int = 29,
+                    seed: int = 0) -> dict:
+    """Random supervised batch with the train_step contract (for tests and
+    the multi-chip dry run)."""
+    k = jax.random.PRNGKey(seed)
+    ks = jax.random.split(k, 5)
+    return {
+        "images": jax.random.normal(ks[0], (n, img, img, 3), jnp.float32),
+        "kp_2d": jnp.concatenate(
+            [jax.random.normal(ks[1], (n, num_joints, 2)),
+             jnp.ones((n, num_joints, 1))], axis=-1),
+        "kp_3d": jnp.concatenate(
+            [jax.random.normal(ks[2], (n, num_joints, 3)),
+             jnp.ones((n, num_joints, 1))], axis=-1),
+        "pose": jnp.tile(jnp.eye(3), (n, 24, 1, 1)),
+        "betas": jax.random.normal(ks[3], (n, 10)) * 0.03,
+        "has_smpl": jnp.ones((n,), jnp.float32),
+    }

@@ -1,0 +1,100 @@
+"""End-to-end integration test: synthetic video -> demo CLI -> pkl + video.
+
+SURVEY.md §4 test strategy item (3): a short synthetic clip with a scripted
+moving box gives a deterministic tracker input; the pipeline must produce
+the reference output schema end to end. Runs on the virtual CPU backend
+with small model buckets to keep compile time down.
+"""
+
+import os
+import os.path as osp
+
+import joblib
+import numpy as np
+import pytest
+
+
+def make_synthetic_video(path: str, n: int = 40, w: int = 320, h: int = 240,
+                         fps: float = 20.0) -> None:
+    import cv2
+
+    writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
+    rng = np.random.default_rng(0)
+    bg = rng.integers(40, 70, size=(h, w, 3)).astype(np.uint8)
+    for i in range(n):
+        frame = bg.copy()
+        x = 20 + 4 * i
+        cv2.rectangle(frame, (x, 40), (x + 40, 200), (210, 190, 180), -1)
+        cv2.circle(frame, (x + 20, 55), 12, (200, 170, 160), -1)
+        writer.write(frame)
+    writer.release()
+
+
+@pytest.mark.slow
+def test_demo_cli_end_to_end(tmp_path, monkeypatch):
+    monkeypatch.setenv("GAITLAB_BUCKETS", "64")
+    from gaitlab.cli import demo
+
+    vid = str(tmp_path / "walk.mp4")
+    make_synthetic_video(vid)
+    out_dir = str(tmp_path / "out")
+
+    args = demo.build_parser().parse_args([
+        "--vid_file", vid,
+        "--output_folder", out_dir,
+        "--joint_type", "kinectv2",
+        "--smooth",
+        "--cfg", "/root/reference/configs/config_grnet.yaml",
+    ])
+    results = demo.main(args)
+
+    assert len(results) >= 1
+    person = next(iter(results.values()))
+    n = person["frame_ids"].shape[0]
+    assert n > 25
+    assert person["pred_cam"].shape == (n, 3)
+    assert person["orig_cam"].shape == (n, 4)
+    assert person["verts"].shape == (n, 6890, 3)
+    assert person["pose"].shape == (n, 72)
+    assert person["betas"].shape == (n, 10)
+    assert person["joints3d"].shape == (n, 25, 3)  # kinectv2
+    assert person["joints2d"].shape[0] == n
+    assert person["bboxes"].shape == (n, 4)
+    assert np.all(np.isfinite(person["joints3d"]))
+
+    # pkl written with the reference naming scheme
+    run_dir = osp.join(out_dir, "walk_mp4")
+    pkls = [f for f in os.listdir(run_dir) if f.endswith(".pkl")]
+    assert pkls, os.listdir(run_dir)
+    loaded = joblib.load(osp.join(run_dir, pkls[0]))
+    assert set(loaded.keys()) == set(results.keys())
+
+    # rendered video written (save_vid defaults True via store_false)
+    vids = [f for f in os.listdir(run_dir) if f.endswith(".mp4")]
+    assert vids, os.listdir(run_dir)
+
+
+@pytest.mark.slow
+def test_demo_cli_precomputed_tracking(tmp_path, monkeypatch):
+    """--tracking_path bypasses the detector (reference demo.py:83-87)."""
+    monkeypatch.setenv("GAITLAB_BUCKETS", "64")
+    from gaitlab.cli import demo
+
+    vid = str(tmp_path / "walk.mp4")
+    make_synthetic_video(vid)
+    frames = np.arange(40)
+    bbox = np.stack([40 + 4.0 * frames + 20, np.full(40, 120.0),
+                     np.full(40, 170.0), np.full(40, 170.0)], axis=1)
+    trackfile = str(tmp_path / "tracks.pkl")
+    joblib.dump({0: {"frames": frames, "bbox": bbox.astype(np.float32)}},
+                trackfile)
+
+    args = demo.build_parser().parse_args([
+        "--vid_file", vid,
+        "--output_folder", str(tmp_path / "out2"),
+        "--tracking_path", trackfile,
+        "--cfg", "/root/reference/configs/config_grnet.yaml",
+    ])
+    results = demo.main(args)
+    assert 0 in results
+    assert results[0]["joints3d"].shape[1:] == (29, 3)  # spin default->spin2
