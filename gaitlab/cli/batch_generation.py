@@ -1,0 +1,188 @@
+"""Flag-compatible batch_generation CLI: folder of clips -> sharded
+kinectv2 25-joint 3D database.
+
+Mirrors /root/reference/batch_generation.py:180-387: same flags
+(--vid_folder --bbox_path --outpath --pretrained_file), same tunables
+(fps=20 extraction :253, MAX_seqlen=400 :34, MAX_VID=50 shard size :37,
+frame-count alignment within MIN_FDIFF=10 :256-261), same sharded output
+schema {vid_name, bbox, joints3D(kinectv2 25x3)} dumped as
+`<outpath>_{k}.json` joblib files every 50 videos.
+
+TPU-native extensions (documented, additive):
+  * --num_shards / --shard_id: multi-host scale-out by video (DCN-level
+    process sharding, SURVEY.md §2C — embarrassingly parallel, no
+    collectives);
+  * --resume: skip shard files that already exist (idempotent restarts);
+  * failed videos are recorded in `<outpath>_failed.json` instead of
+    aborting the run (SURVEY.md §5 failure-detection plan).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import os.path as osp
+import shutil
+import time
+from collections import defaultdict
+
+import joblib
+import numpy as np
+
+from gaitlab.body.joints import convert_kps
+
+# tunables (reference batch_generation.py:24-37)
+MIN_FDIFF = 10
+MAX_seqlen = 400
+MAX_VID = 50
+EXTRACT_FPS = 20
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser()
+    p.add_argument("--vid_folder", type=str, default="",
+                   help="folder containing videos to process.")
+    p.add_argument("--bbox_path", type=str, default="",
+                   help="json file path, the precomputed bbox (.json).")
+    p.add_argument("--outpath", type=str,
+                   default=f"data/{time.strftime('%Y%m%d-%H%M%S')}",
+                   help="output path to save generated 3D joints.")
+    p.add_argument("--pretrained_file", type=str,
+                   default="checkpoint/max-grnet.pth.tar",
+                   help="path to the pretrained weights.")
+    p.add_argument("--smpl_model", type=str, default=None,
+                   help="path to SMPL model pkl/npz.")
+    p.add_argument("--num_shards", type=int, default=1,
+                   help="process-level sharding: total number of workers.")
+    p.add_argument("--shard_id", type=int, default=0,
+                   help="process-level sharding: this worker's index.")
+    p.add_argument("--resume", action="store_true",
+                   help="skip output shards that already exist.")
+    return p
+
+
+def _sort_key(name: str):
+    """Reference clip-name ordering (batch_generation.py:196) with a
+    lexicographic fallback for other naming schemes."""
+    try:
+        return (0, int(name[1:4] + name[6:9] + name[11:14] + name[16:19]))
+    except (ValueError, IndexError):
+        return (1, name)
+
+
+def run_grnet_on_frames(runner, img_dir: str, frames: np.ndarray,
+                        bboxes: np.ndarray) -> dict:
+    """Reference run_grnet_on_frame (batch_generation.py:289-371):
+    scale=1.1 crops, spin2 -> kinectv2 joints."""
+    from gaitlab.pipeline import video as video_mod
+
+    paths = np.array(video_mod.list_image_files(img_dir))[frames]
+    out = runner.run_track(list(paths), bboxes, scale=1.1)
+    kp_3d = convert_kps(out["joints3d"], src="spin2", dst="kinectv2")
+    return {"kp_3d": kp_3d.astype(np.float32)}
+
+
+def _flush_db(db: dict, outpath: str, out_ind: int, start_time: float):
+    for k, v in db.items():
+        if isinstance(v[0], np.ndarray):
+            db[k] = np.concatenate(v, axis=0).astype(np.float32)
+        else:
+            db[k] = np.array(v)
+        print(f"{k} shape: {db[k].shape}")
+    rate = db["vid_name"].shape[0] / (time.time() - start_time)
+    print(f"=====>>> Generation frame rate: {rate}.")
+    assert outpath.endswith(".json")
+    outfp = outpath[:-5] + f"_{out_ind}.json"
+    joblib.dump(dict(db), outfp)
+    print(f"Save database to {outfp}.")
+    return outfp
+
+
+def prepare_data(fv: str, vid_folder: str, outpath: str,
+                 pretrained_file: str = None, smpl_model: str = None,
+                 num_shards: int = 1, shard_id: int = 0,
+                 resume: bool = False, debug: bool = False):
+    """Reference prepare_data (batch_generation.py:180-287), TPU pipeline."""
+    from gaitlab.cli.demo import load_model
+    from gaitlab.pipeline import video as video_mod
+    from gaitlab.pipeline.runner import GRNetRunner
+
+    assert osp.isfile(fv), fv
+    annos = joblib.load(fv)
+    vidnames = sorted(os.listdir(vid_folder), key=_sort_key)
+    vidnames = [v for i, v in enumerate(vidnames)
+                if i % num_shards == shard_id]
+
+    args = argparse.Namespace(ckpt=pretrained_file or "",
+                              smpl_model=smpl_model, cfg=None)
+    model = load_model(args, cfg=None)
+    runner = GRNetRunner(model)
+    if not outpath.endswith(".json"):
+        outpath = outpath + ".json"
+
+    db = defaultdict(list)
+    failed = []
+    start = time.time()
+    out_ind = 0
+    for idx, vid_name in enumerate(vidnames):
+        if idx % MAX_VID == 0 and idx > 0 and (len(vidnames) - idx) > 10:
+            outfp = outpath[:-5] + f"_{out_ind}.json"
+            if not (resume and osp.isfile(outfp)):
+                _flush_db(db, outpath, out_ind, start)
+            out_ind += 1
+            db = defaultdict(list)
+            start = time.time()
+        print("=" * 50 + f" process video {idx + 1}/{len(vidnames)} " + "=" * 50)
+        if debug and idx > 5:
+            break
+        if resume and osp.isfile(outpath[:-5] + f"_{out_ind}.json"):
+            continue  # shard already produced by a previous run
+        if vid_name.split(".")[0] not in annos:
+            print(f"Skip video {vid_name}, no precomputed 2D joints!")
+            continue
+        try:
+            vid_path = osp.join(vid_folder, vid_name)
+            bboxes = np.asarray(annos[vid_name.split(".")[0]], np.float32)
+            frame_num = bboxes.shape[0]
+            img_dir = video_to_images_fps20(vid_path)
+            img_files = video_mod.list_image_files(img_dir)
+            assert abs(len(img_files) - frame_num) < MIN_FDIFF, \
+                f"frame mismatch: {len(img_files)} vs {frame_num}"
+            if len(img_files) - frame_num != 0:
+                # reference realigns by repeating the first bbox (:258-261)
+                bboxes = np.repeat(bboxes[0, None, :], len(img_files), axis=0)
+                frame_num = len(img_files)
+            outputs = run_grnet_on_frames(
+                runner, img_dir, np.arange(frame_num), bboxes)
+            db["vid_name"].extend([vid_name.split(".")[0]] * frame_num)
+            db["bbox"].append(bboxes.reshape(frame_num, 4))
+            db["joints3D"].append(outputs["kp_3d"].reshape(frame_num, 25, 3))
+            shutil.rmtree(img_dir)
+        except Exception as e:  # quarantine, don't abort the corpus run
+            print(f"FAILED video {vid_name}: {e}")
+            failed.append({"vid_name": vid_name, "error": str(e)})
+
+    if len(db):
+        _flush_db(db, outpath, out_ind, start)
+    if failed:
+        failpath = outpath[:-5] + "_failed.json"
+        joblib.dump(failed, failpath)
+        print(f"{len(failed)} videos failed; manifest at {failpath}.")
+    return out_ind + (1 if len(db) else 0)
+
+
+def video_to_images_fps20(vid_path: str) -> str:
+    from gaitlab.pipeline import video as video_mod
+
+    return video_mod.video_to_images(vid_path, fps=EXTRACT_FPS)
+
+
+def main(args):
+    prepare_data(fv=args.bbox_path, vid_folder=args.vid_folder,
+                 outpath=args.outpath, pretrained_file=args.pretrained_file,
+                 smpl_model=args.smpl_model, num_shards=args.num_shards,
+                 shard_id=args.shard_id, resume=args.resume)
+
+
+if __name__ == "__main__":
+    main(build_parser().parse_args())

@@ -42,6 +42,10 @@ class GRNetRunner:
     bbox_scale: float = 1.0  # reference demo.py:80 (bbox_scale = 1.0)
     ingest_chunk: int = 32   # full-res frames staged to device at once
     mesh: Optional[jax.sharding.Mesh] = None
+    # matmul precision: "float32" keeps TPU output parity with the f32
+    # reference (SURVEY.md §7 hard part #4 — default bf16 matmul noise
+    # compounds through ~100 conv layers); "default" is the fast bf16 path.
+    precision: str = "float32"
     _fwd_cache: dict = field(default_factory=dict, repr=False)
 
     def __post_init__(self):
@@ -61,9 +65,18 @@ class GRNetRunner:
         module = self.model.module
         joint_mode = self.model.joint_mode
 
+        precision = self.precision
+
         def fwd(variables, smpl, images):
-            patt = module.apply(variables, images)
-            out = vp_regress(smpl, patt, batch_size=1, joint_mode=joint_mode)[0]
+            import contextlib
+
+            ctx = (jax.default_matmul_precision(precision)
+                   if precision and precision != "default"
+                   else contextlib.nullcontext())
+            with ctx:
+                patt = module.apply(variables, images)
+                out = vp_regress(smpl, patt, batch_size=1,
+                                 joint_mode=joint_mode)[0]
             return {k: v[0] for k, v in out.items()
                     if k in ("theta", "verts", "kp_2d", "kp_3d")}
 
