@@ -233,25 +233,44 @@ def _rigid_transforms(rot_mats: Array, joints: Array) -> tuple[Array, Array]:
 
 
 def lbs(
-    params: SMPLParams, betas: Array, rot_mats: Array
+    params: SMPLParams, betas: Array, rot_mats: Array,
+    use_pallas: bool = False,
 ) -> tuple[Array, Array]:
     """Core SMPL forward: (B,10) betas + (B,24,3,3) rotmats ->
     (verts (B,V,3), joints24 (B,24,3)).
 
     Mirrors smplx.lbs orchestrated at reference smpl.py:108-130 /
-    SURVEY.md section 3.4, as batched einsums on the MXU.
+    SURVEY.md section 3.4, as batched einsums on the MXU. With
+    `use_pallas` the two blendshape contractions + template add run as one
+    fused Pallas kernel (gaitlab.ops.lbs_pallas) and the rest-pose joints
+    come from the regressor folded through the shape blendshapes —
+    v_shaped is never materialised.
     """
     B = betas.shape[0]
-    v_shaped = params.v_template[None] + jnp.einsum(
-        "bl,vkl->bvk", betas, params.shapedirs, precision=HI
-    )
-    joints = vertices2joints(params.J_regressor, v_shaped)
-
     ident = jnp.eye(3, dtype=rot_mats.dtype)
     pose_feature = (rot_mats[:, 1:] - ident).reshape(B, -1)  # (B,207)
-    v_posed = v_shaped + jnp.einsum(
-        "bp,pn->bn", pose_feature, params.posedirs, precision=HI
-    ).reshape(B, -1, 3)
+
+    if use_pallas:
+        from gaitlab.ops import lbs_pallas
+
+        v_posed = lbs_pallas.blendshapes(
+            params.v_template, params.shapedirs, params.posedirs,
+            betas, pose_feature)
+        # J(beta) = Jr @ v_template + (Jr @ shapedirs) @ beta, tiny matmuls
+        j0 = jnp.einsum("jv,vk->jk", params.J_regressor, params.v_template,
+                        precision=HI)
+        j_dirs = jnp.einsum("jv,vkl->jkl", params.J_regressor,
+                            params.shapedirs, precision=HI)
+        joints = j0[None] + jnp.einsum("bl,jkl->bjk", betas, j_dirs,
+                                       precision=HI)
+    else:
+        v_shaped = params.v_template[None] + jnp.einsum(
+            "bl,vkl->bvk", betas, params.shapedirs, precision=HI
+        )
+        joints = vertices2joints(params.J_regressor, v_shaped)
+        v_posed = v_shaped + jnp.einsum(
+            "bp,pn->bn", pose_feature, params.posedirs, precision=HI
+        ).reshape(B, -1, 3)
 
     posed_joints, A = _rigid_transforms(rot_mats, joints)
 

@@ -43,6 +43,7 @@ class GRNetCore(nn.Module):
     backbone_width: int = 32
     freeze_backbone: bool = True
     use_gait_feat: bool = False      # reference grnet.py:40 default False
+    use_pallas_attention: bool = False
     featcorr_avg_dim: int = 3        # MODEL.FEAT_CORR.* (config.py:54-60)
     featcorr_estim_phase: bool = True
     featcorr_num_layers: int = 1
@@ -60,6 +61,7 @@ class GRNetCore(nn.Module):
             num_input_features=self.num_input_features,
             num_features_pare=self.num_features_pare,
             num_features_smpl=self.num_features_smpl,
+            use_pallas_attention=self.use_pallas_attention,
             name="head",
         )
         if self.use_gait_feat:

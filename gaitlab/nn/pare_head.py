@@ -32,6 +32,9 @@ class PareHead(nn.Module):
     num_camera_params: int = 3
     final_conv_kernel: int = 1
     train_bn: bool = False
+    # fuse softmax + both attention-pooling matmuls into one Pallas kernel
+    # (gaitlab.ops.attention_pallas); numerics identical to the XLA path
+    use_pallas_attention: bool = False
 
     def setup(self):
         pad = 1 if self.final_conv_kernel == 3 else 0
@@ -75,8 +78,14 @@ class PareHead(nn.Module):
         smpl_feats = nn.relu(self.sd_bn4(self.sd_conv3(y)))
         cam_shape_feats = self.smpl_final_layer(smpl_feats)
 
-        point_local_feat = keypoint_attention(smpl_feats, part_attention)      # (N,J,128)
-        cam_shape_pooled = keypoint_attention(cam_shape_feats, part_attention)  # (N,J,64)
+        if self.use_pallas_attention:
+            from gaitlab.ops.attention_pallas import keypoint_attention_fused
+
+            point_local_feat, cam_shape_pooled = keypoint_attention_fused(
+                smpl_feats, cam_shape_feats, part_attention)  # (N,J,128/64)
+        else:
+            point_local_feat = keypoint_attention(smpl_feats, part_attention)      # (N,J,128)
+            cam_shape_pooled = keypoint_attention(cam_shape_feats, part_attention)  # (N,J,64)
         return {
             "point_local_feat": point_local_feat,
             "cam_shape_feats": cam_shape_pooled,
