@@ -112,7 +112,12 @@ def load_model(args, cfg):
     if args.ckpt and osp.isfile(args.ckpt):
         state = torch_import.load_torch_file(args.ckpt)
         gen = state.get("gen_state_dict", state)
-        model.variables = torch_import.import_grnet_ckpt(gen, model.variables)
+        variables, missing, unused = torch_import.import_grnet_ckpt(
+            gen, model.variables)
+        if missing:
+            print(f"WARNING: {len(missing)} model params not in checkpoint "
+                  f"(e.g. {missing[:3]})")
+        model.variables = variables
         perf = state.get("performance", None)
         if perf is not None:
             print(f"Performance of pretrained model on 3DPW: {perf}")

@@ -1,0 +1,108 @@
+"""Tests: utils (meters/timers), weight cache, data helpers."""
+
+import os
+import time
+
+import numpy as np
+import pytest
+
+
+def test_average_meter():
+    from gaitlab.utils import AverageMeter
+
+    m = AverageMeter()
+    m.update(2.0)
+    m.update(4.0, n=3)
+    assert m.val == 4.0
+    assert m.count == 4
+    assert m.avg == pytest.approx((2.0 + 12.0) / 4)
+
+
+def test_stage_timer():
+    from gaitlab.utils import StageTimer
+
+    t = StageTimer()
+    with t.stage("decode"):
+        time.sleep(0.01)
+    with t.stage("model"):
+        time.sleep(0.02)
+    assert t.stages["model"] > t.stages["decode"] > 0
+    assert t.fps(100, "model") > 0
+    assert "model" in t.report()
+
+
+def test_split_into_chunks():
+    from gaitlab.pipeline.data import split_into_chunks
+
+    vid_names = np.array(["a"] * 10 + ["b"] * 4 + ["c"] * 7)
+    chunks = split_into_chunks(vid_names, seqlen=5, stride=5)
+    # video a: windows [0..4],[5..9]; b too short; c: [14..18]
+    assert [tuple(c) for c in chunks] == [(0, 4), (5, 9), (14, 18)]
+
+    # stride 1 sliding
+    chunks = split_into_chunks(np.array(["x"] * 6), seqlen=5, stride=1)
+    assert [tuple(c) for c in chunks] == [(0, 4), (1, 5)]
+
+
+def test_augmentation_helpers(rng):
+    import random
+
+    from gaitlab.pipeline.data import (color_jitter, do_augmentation,
+                                       get_image_masked)
+
+    scale, rot, flip, cs = do_augmentation(rng=random.Random(0))
+    assert 1.2 <= scale <= 1.5 and rot == 0 and flip is False
+    assert all(0.8 <= c <= 1.2 for c in cs)
+
+    img = rng.integers(0, 255, (40, 60, 3)).astype(np.uint8)
+    out = color_jitter(img, [1.5, 1.0, 0.5])
+    assert out.dtype == np.uint8 and out.max() <= 255
+
+    masked = get_image_masked(img, [30, 20, 30, 20],
+                              rng=np.random.default_rng(0))
+    assert (masked == 0).any() and masked.shape == img.shape
+
+
+def test_weight_cache_roundtrip(tmp_path):
+    import jax.numpy as jnp
+
+    from gaitlab.weights import cache
+
+    src = tmp_path / "weights.bin"
+    src.write_bytes(b"pretend-checkpoint-bytes")
+    like = {"params": {"w": jnp.zeros((3, 2)), "b": jnp.zeros((2,))}}
+
+    calls = []
+
+    def convert(path, like_tree):
+        calls.append(path)
+        return {"params": {"w": jnp.ones((3, 2)) * 2, "b": jnp.ones((2,))}}
+
+    got1 = cache.convert_cached(str(src), like, convert,
+                                cache_dir=str(tmp_path / "cache"))
+    got2 = cache.convert_cached(str(src), like, convert,
+                                cache_dir=str(tmp_path / "cache"))
+    assert len(calls) == 1  # second call served from cache
+    np.testing.assert_array_equal(np.asarray(got2["params"]["w"]),
+                                  np.asarray(got1["params"]["w"]))
+
+    # content change -> different hash -> reconvert
+    src.write_bytes(b"different-bytes")
+    cache.convert_cached(str(src), like, convert,
+                         cache_dir=str(tmp_path / "cache"))
+    assert len(calls) == 2
+
+
+def test_resnet_variants_shapes():
+    import jax
+
+    from gaitlab.nn import resnet
+
+    x = np.zeros((1, 64, 64, 3), np.float32)
+    m = resnet.resnet18()
+    v = m.init(jax.random.PRNGKey(0), x)
+    out = m.apply(v, x)
+    assert out.shape == (1, 512)
+    m50 = resnet.resnet50()
+    v50 = m50.init(jax.random.PRNGKey(0), x)
+    assert m50.apply(v50, x).shape == (1, 2048)
