@@ -124,18 +124,30 @@ class GRNetRunner:
 
     def crop_track(self, frames_or_paths, bboxes: np.ndarray,
                    scale: Optional[float] = None) -> jnp.ndarray:
-        """Frames + per-frame square bboxes -> normalized crops on device."""
+        """Frames + per-frame square bboxes -> normalized crops on device.
+
+        Path input streams through the native prefetch loader
+        (gaitlab.pipeline.loader): chunk i+1 decodes on a worker thread
+        while chunk i's crop kernel runs on device.
+        """
         scale = self.bbox_scale if scale is None else scale
         crops = []
         n = len(bboxes)
-        for s in range(0, n, self.ingest_chunk):
-            e = min(n, s + self.ingest_chunk)
-            if isinstance(frames_or_paths, np.ndarray):
-                chunk = frames_or_paths[s:e]
-            else:
-                chunk = video_mod.load_frames(frames_or_paths[s:e])
+        if isinstance(frames_or_paths, np.ndarray):
+            chunks = (frames_or_paths[s : s + self.ingest_chunk]
+                      for s in range(0, n, self.ingest_chunk))
+        else:
+            from gaitlab.pipeline.loader import PrefetchLoader
+
+            chunks = iter(PrefetchLoader(frames_or_paths,
+                                         chunk=self.ingest_chunk))
+        s = 0
+        for chunk in chunks:
+            e = s + len(chunk)
             crops.append(crop_mod.crop_and_normalize(
                 chunk, bboxes[s:e], scale=scale, crop_size=self.crop_size))
+            s = e
+        assert s == n, (s, n)
         return jnp.concatenate(crops, axis=0)
 
     def run_track(self, frames_or_paths, bboxes: np.ndarray,
