@@ -6,6 +6,13 @@ frames through backbone + head + SMPL + projection per second). The
 reference records no value in-repo; the driver BASELINE target is
 >= 300 fps/chip (BASELINE.md), used as the denominator here.
 
+Measurement note: through the axon TPU tunnel, `block_until_ready` returns
+before device execution completes, so naive timing reports dispatch rate,
+not compute rate. This bench forces serialization with a device-side data
+dependency chain (iteration i+1 consumes a scalar from iteration i's
+output) and one final host fetch — wall-clock then covers real device
+execution.
+
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "frames/s", "vs_baseline": N/300}
 """
@@ -18,10 +25,11 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 BASELINE_FPS = 300.0
 BATCH = 128
-ITERS = 10
+ITERS = 8
 
 
 def log(*a):
@@ -42,25 +50,30 @@ def main():
     smpl = body_smpl.synthetic_smpl_params()
 
     @jax.jit
-    def fwd(variables, smpl, images):
-        patt = module.apply(variables, images)
+    def fwd(variables, smpl, images, bias):
+        patt = module.apply(variables, images + bias)
         out = vp_regress(smpl, patt, batch_size=1, joint_mode="spin2")[0]
         return out["kp_3d"], out["theta"], out["kp_2d"]
 
     variables, smpl, images = jax.device_put((variables, smpl, images), dev)
 
+    def chain(n):
+        bias = jnp.zeros(())
+        t0 = time.perf_counter()
+        for _ in range(n):
+            kp3d, theta, kp2d = fwd(variables, smpl, images, bias)
+            bias = theta[0, 0, 0] * 1e-9  # device-side dependency
+        float(bias)  # single host sync at the end
+        return time.perf_counter() - t0
+
     t0 = time.perf_counter()
-    jax.block_until_ready(fwd(variables, smpl, images))
+    chain(1)
     log(f"compile+first-run: {time.perf_counter() - t0:.1f}s")
-    jax.block_until_ready(fwd(variables, smpl, images))  # warm
+    chain(2)  # warm
 
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        out = fwd(variables, smpl, images)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
-
+    dt = chain(ITERS)
     fps = BATCH * ITERS / dt
+    log(f"{ITERS} chained iters: {dt:.3f}s ({dt / ITERS * 1e3:.1f} ms/iter)")
     print(json.dumps({
         "metric": "grnet_model_loop_fps_per_chip",
         "value": round(fps, 2),

@@ -159,6 +159,25 @@ register_format("insta", [
     [5, 19], [19, 21], [5, 23], [0, 24],
 ])
 
+register_format("OP21a", [
+    "OP Nose", "OP Neck", "OP RShoulder", "OP RElbow", "OP RWrist",
+    "OP LShoulder", "OP LElbow", "OP LWrist", "OP MidHip", "OP RHip",
+    "OP RKnee", "OP RAnkle", "OP LHip", "OP LKnee", "OP LAnkle",
+    "OP REye", "OP LEye", "OP REar", "OP LEar", "Jaw (H36M)", "headtop",
+], skeleton=[
+    [1, 19], [0, 19], [1, 8], [0, 20], [1, 5], [1, 2], [5, 6], [2, 3],
+    [6, 7], [3, 4], [8, 12], [1, 8], [12, 13], [8, 9], [13, 14], [9, 10],
+    [0, 16], [10, 11], [16, 18], [0, 15],
+])  # kp_utils.py:861-906
+
+register_format("aich", [
+    "rshoulder", "relbow", "rwrist", "lshoulder", "lelbow", "lwrist",
+    "rhip", "rknee", "rankle", "lhip", "lknee", "lankle", "headtop", "neck",
+], skeleton=[
+    [0, 1], [1, 2], [3, 4], [4, 5], [6, 7], [7, 8], [9, 10], [10, 11],
+    [12, 13], [13, 0], [13, 3], [0, 6], [3, 9],
+])  # kp_utils.py:576-614
+
 register_format("staf", [
     "OP Nose", "OP Neck", "OP RShoulder", "OP RElbow", "OP RWrist",
     "OP LShoulder", "OP LElbow", "OP LWrist", "OP MidHip", "OP RHip",

@@ -186,3 +186,7 @@ def main(args):
 
 if __name__ == "__main__":
     main(build_parser().parse_args())
+
+
+def main_cli():
+    main(build_parser().parse_args())

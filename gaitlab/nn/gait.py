@@ -107,6 +107,23 @@ class GaitFeatEncoder(nn.Module):
         return pred_avg, pred_phase, xc
 
 
+def positional_encoding(t: int, d_model: int, dtype=jnp.float32) -> Array:
+    """Sin/cos positional-encoding table (T, d_model) — reference
+    PositionalEncoding (attention_utils.py:32-54), as a pure function."""
+    position = jnp.arange(t, dtype=jnp.float32)[:, None]
+    div = jnp.exp(jnp.arange(0, d_model, 2, dtype=jnp.float32)
+                  * -(jnp.log(10000.0) / d_model))
+    pe = jnp.zeros((t, d_model), dtype)
+    pe = pe.at[:, 0::2].set(jnp.sin(position * div))
+    pe = pe.at[:, 1::2].set(jnp.cos(position * div[: d_model // 2]))
+    return pe
+
+
+def add_positional_encoding(x: Array) -> Array:
+    """x: (B, T, D) -> x + PE[:T] (attention_utils.py:51-54)."""
+    return x + positional_encoding(x.shape[1], x.shape[2], x.dtype)[None]
+
+
 class TSAttention(nn.Module):
     """Parallel temporal + spatial attention with learned per-channel
     mixing (reference MultiAttention, attention_utils.py:132-218).

@@ -69,6 +69,22 @@ def get_all_bbox_params(kps: Sequence, vis_thresh: float = 2,
     return params, start_index, i - num_to_interpolate + 1
 
 
+def track_window_from_joints2d(frames: np.ndarray, joints2d: np.ndarray,
+                               vis_thresh: float = 0.3):
+    """Reference Inference has_keypoints path (lib/dataset/inference.py:
+    57-66): derive square bboxes from 2D keypoints and trim the track to
+    the frames where a bbox exists.
+
+    Returns (frames_window, bboxes (N,4) [cx,cy,side,side], joints2d_window).
+    """
+    params, t1, t2 = get_all_bbox_params(joints2d, vis_thresh=vis_thresh)
+    side = 150.0 / params[:, 2]  # scale -> pixel size (inference.py:59)
+    bboxes = np.stack([params[:, 0], params[:, 1], side, side], axis=1)
+    frames = np.asarray(frames)[t1:t2]
+    joints2d = np.asarray(joints2d)[t1:t2]
+    return frames, bboxes.astype(np.float32), joints2d
+
+
 def get_smooth_bbox_params(kps: Sequence, vis_thresh: float = 2,
                            kernel_size: int = 11, sigma: float = 3,
                            squared: bool = True, scale: float = 1.1):

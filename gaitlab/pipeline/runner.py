@@ -66,26 +66,31 @@ class GRNetRunner:
         joint_mode = self.model.joint_mode
 
         precision = self.precision
+        gait = module.use_gait_feat
 
-        def fwd(variables, smpl, images):
+        def fwd(variables, smpl, images, bbox=None, cimg=None):
             import contextlib
 
             ctx = (jax.default_matmul_precision(precision)
                    if precision and precision != "default"
                    else contextlib.nullcontext())
             with ctx:
-                patt = module.apply(variables, images)
+                kw = dict(bbox=bbox, cimg=cimg) if gait else {}
+                patt = module.apply(variables, images, **kw)
                 out = vp_regress(smpl, patt, batch_size=1,
                                  joint_mode=joint_mode)[0]
-            return {k: v[0] for k, v in out.items()
-                    if k in ("theta", "verts", "kp_2d", "kp_3d")}
+            keep = ("theta", "verts", "kp_2d", "kp_3d", "pred_avg",
+                    "pred_phase")
+            return {k: (v[0] if k != "pred_avg" else v)
+                    for k, v in out.items() if k in keep}
 
         if self.mesh is not None:
+            assert not gait, "mesh DP + gait branch not supported yet"
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             repl = NamedSharding(self.mesh, P())
             data = NamedSharding(self.mesh, P("data"))
-            jfwd = jax.jit(fwd, in_shardings=(repl, repl, data),
+            jfwd = jax.jit(fwd, in_shardings=(repl, repl, data, None, None),
                            out_shardings=repl)
         else:
             jfwd = jax.jit(fwd)
@@ -96,29 +101,44 @@ class GRNetRunner:
         i = bisect.bisect_left(self.buckets, n)
         return self.buckets[min(i, len(self.buckets) - 1)]
 
-    def forward_crops(self, crops: jax.Array) -> dict:
+    def forward_crops(self, crops: jax.Array, bbox=None, cimg=None) -> dict:
         """Normalized crops (N,224,224,3) -> output dict of numpy arrays.
 
         Splits into at-most-max-bucket slices, pads the tail to the next
-        bucket, runs the cached jitted forward per bucket size.
+        bucket, runs the cached jitted forward per bucket size. bbox/cimg
+        (N,4)/(N,2) feed the gait branch when the model has one.
         """
         n = crops.shape[0]
         max_b = self.buckets[-1]
         outs: list[dict] = []
         start = 0
+
+        def pad_to(arr, m, b):
+            if arr is None or m == b:
+                return arr
+            rep = jnp.broadcast_to(arr[-1:], (b - m,) + tuple(arr.shape[1:]))
+            return jnp.concatenate([arr, rep], axis=0)
+
         while start < n:
             m = min(max_b, n - start)
             b = self._bucket(m)
-            piece = crops[start : start + m]
-            if m < b:
-                pad = jnp.broadcast_to(piece[-1:],
-                                       (b - m,) + tuple(piece.shape[1:]))
-                piece = jnp.concatenate([piece, pad], axis=0)
-            out = self._forward(b)(self.model.variables, self.model.smpl, piece)
-            outs.append({k: np.asarray(v[:m]) for k, v in out.items()})
+            piece = pad_to(crops[start : start + m], m, b)
+            bb = pad_to(jnp.asarray(bbox[start : start + m], jnp.float32)
+                        if bbox is not None else None, m, b)
+            ci = pad_to(jnp.asarray(cimg[start : start + m], jnp.float32)
+                        if cimg is not None else None, m, b)
+            out = self._forward(b)(self.model.variables, self.model.smpl,
+                                   piece, bb, ci)
+            outs.append({k: np.asarray(v[:m]) if k != "pred_avg"
+                         else np.asarray(v) for k, v in out.items()})
             start += m
-        return {k: np.concatenate([o[k] for o in outs], axis=0)
-                for k in outs[0]}
+        merged = {}
+        for k in outs[0]:
+            if k == "pred_avg":  # per-chunk track-level estimate: average
+                merged[k] = np.mean([o[k][0] for o in outs], axis=0)
+            else:
+                merged[k] = np.concatenate([o[k] for o in outs], axis=0)
+        return merged
 
     # -- full track ----------------------------------------------------------
 
@@ -159,13 +179,28 @@ class GRNetRunner:
         crop coords}.
         """
         crops = self.crop_track(frames_or_paths, bboxes, scale)
-        out = self.forward_crops(crops)
-        theta = out["theta"]
-        return {
-            "pred_cam": theta[:, :3],
+        bb = ci = None
+        if self.model.module.use_gait_feat:
+            # gait branch needs image-frame camera context: bbox + image
+            # center (reference Inference gait mode, inference.py:84-85)
+            if isinstance(frames_or_paths, np.ndarray):
+                h, w = frames_or_paths.shape[1:3]
+            else:
+                from gaitlab.pipeline.loader import image_size
+
+                h, w = image_size(frames_or_paths[0])
+            bb = np.asarray(bboxes, np.float32)
+            ci = np.full((len(bb), 2), [w * 0.5, h * 0.5], np.float32)
+        out = self.forward_crops(crops, bbox=bb, cimg=ci)
+        result = {
+            "pred_cam": out["theta"][:, :3],
             "verts": out["verts"],
-            "pose": theta[:, 3:75],
-            "betas": theta[:, 75:],
+            "pose": out["theta"][:, 3:75],
+            "betas": out["theta"][:, 75:],
             "joints3d": out["kp_3d"],
             "joints2d": out["kp_2d"],
         }
+        for k in ("pred_avg", "pred_phase"):
+            if k in out:
+                result[k] = out[k]
+        return result

@@ -54,6 +54,62 @@ def draw_3d_skeleton(joints3d: np.ndarray, ax, dataset: str = "spin2",
     return ax
 
 
+def render_image(img: np.ndarray, verts: np.ndarray, cam,
+                 faces: np.ndarray, color=(0.9, 0.9, 0.8)) -> np.ndarray:
+    """Standalone mesh-on-image render (reference vis.py:77-120 role),
+    via the software rasterizer."""
+    from gaitlab.render import raster
+
+    return raster.render_mesh(np.asarray(img), verts, cam, faces, color=color)
+
+
+def denormalize_image(norm_img: np.ndarray) -> np.ndarray:
+    """Invert the ImageNet normalization of a crop -> uint8 RGB (reference
+    torch2numpy, img_utils.py:300-312)."""
+    from gaitlab.pipeline.crop import IMAGENET_MEAN, IMAGENET_STD
+
+    img = norm_img * np.asarray(IMAGENET_STD) + np.asarray(IMAGENET_MEAN)
+    return np.clip(img * 255.0, 0, 255).astype(np.uint8)
+
+
+def visualize_preds(image: np.ndarray, pred_kp2d: np.ndarray,
+                    target_kp2d: Optional[np.ndarray] = None,
+                    fmt: str = "spin2", crop_size: int = 224) -> np.ndarray:
+    """Pred-vs-target keypoint panel (reference visualize_preds,
+    vis.py:221-286 role): normalized crop + [-1,1] keypoints -> side-by-side
+    uint8 panel with skeletons drawn."""
+    from gaitlab.pipeline.crop import normalize_2d_kp
+
+    base = (denormalize_image(image) if image.dtype != np.uint8
+            else image.copy())
+    panels = []
+    pred_px = normalize_2d_kp(np.asarray(pred_kp2d)[:, :2], crop_size,
+                              inv=True)
+    p = base.copy()
+    draw_2d_skeleton(p, pred_px, fmt=fmt, color=(0, 255, 0))
+    panels.append(p)
+    if target_kp2d is not None:
+        t = base.copy()
+        tgt_px = normalize_2d_kp(np.asarray(target_kp2d)[:, :2], crop_size,
+                                 inv=True)
+        draw_2d_skeleton(t, tgt_px, fmt=fmt, color=(0, 0, 255))
+        panels.append(t)
+    return np.concatenate(panels, axis=1)
+
+
+def visualize_batch_preds(images: np.ndarray, pred_kp2d: np.ndarray,
+                          target_kp2d: Optional[np.ndarray] = None,
+                          fmt: str = "spin2", max_items: int = 4) -> np.ndarray:
+    """Batch/video variant (reference vis.py:288-358 role): stack per-frame
+    panels vertically."""
+    rows = []
+    n = min(len(images), max_items)
+    for i in range(n):
+        tgt = target_kp2d[i] if target_kp2d is not None else None
+        rows.append(visualize_preds(images[i], pred_kp2d[i], tgt, fmt=fmt))
+    return np.concatenate(rows, axis=0)
+
+
 def body_orientation_rotmat(joints3d_frame: np.ndarray) -> np.ndarray:
     """Procrustes rotation aligning the body to +x for matplotlib display
     (reference demo.py:239-247: hip x shoulder cross product, 49-joint

@@ -60,6 +60,28 @@ def test_bigru_matches_torch():
     np.testing.assert_allclose(np.asarray(h_final), t_h.numpy(), atol=2e-5)
 
 
+def test_positional_encoding_matches_reference():
+    import math
+
+    import torch
+
+    from gaitlab.nn.gait import add_positional_encoding, positional_encoding
+
+    d_model, max_len = 32, 20
+    pe = torch.zeros(max_len, d_model)
+    position = torch.arange(0, max_len).unsqueeze(1)
+    div = torch.exp(torch.arange(0, d_model, 2) * -(math.log(10000.0) / d_model))
+    pe[:, 0::2] = torch.sin(position * div)
+    pe[:, 1::2] = torch.cos(position * div)
+    got = np.asarray(positional_encoding(max_len, d_model))
+    np.testing.assert_allclose(got, pe.numpy(), atol=1e-5)
+
+    x = jnp.ones((2, max_len, d_model))
+    out = np.asarray(add_positional_encoding(x))
+    np.testing.assert_allclose(out, 1.0 + np.broadcast_to(
+        pe.numpy()[None], out.shape), atol=1e-5)
+
+
 def test_gait_encoder_shapes():
     from gaitlab.nn.gait import GaitFeatEncoder
 

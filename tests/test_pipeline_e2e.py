@@ -75,6 +75,41 @@ def test_demo_cli_end_to_end(tmp_path, monkeypatch):
 
 
 @pytest.mark.slow
+def test_demo_cli_multiperson(tmp_path, monkeypatch):
+    """BASELINE config #4: multi-person video, variable track lengths."""
+    import cv2
+
+    monkeypatch.setenv("GAITLAB_BUCKETS", "64")
+    from gaitlab.cli import demo
+
+    vid = str(tmp_path / "two.mp4")
+    w, h, n = 320, 240, 44
+    writer = cv2.VideoWriter(vid, cv2.VideoWriter_fourcc(*"mp4v"), 20.0,
+                             (w, h))
+    rng = np.random.default_rng(1)
+    bg = rng.integers(40, 70, size=(h, w, 3)).astype(np.uint8)
+    for i in range(n):
+        frame = bg.copy()
+        x1 = 10 + 4 * i
+        cv2.rectangle(frame, (x1, 30), (x1 + 35, 170), (210, 190, 180), -1)
+        if i >= 8:  # second person enters later (shorter track)
+            x2 = 290 - 4 * i
+            cv2.rectangle(frame, (x2, 60), (x2 + 35, 210), (150, 200, 160), -1)
+        writer.write(frame)
+    writer.release()
+
+    args = demo.build_parser().parse_args([
+        "--vid_file", vid,
+        "--output_folder", str(tmp_path / "out"),
+        "--cfg", "/root/reference/configs/config_grnet.yaml",
+    ])
+    results = demo.main(args)
+    assert len(results) >= 2  # both tracks survive MIN_NUM_FRAMES
+    lens = sorted(r["frame_ids"].shape[0] for r in results.values())
+    assert lens[0] > 25 and lens[-1] > lens[0]  # variable track lengths
+
+
+@pytest.mark.slow
 def test_demo_cli_precomputed_tracking(tmp_path, monkeypatch):
     """--tracking_path bypasses the detector (reference demo.py:83-87)."""
     monkeypatch.setenv("GAITLAB_BUCKETS", "64")

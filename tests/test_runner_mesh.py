@@ -1,0 +1,50 @@
+"""GRNetRunner data-parallel path on the virtual 8-device mesh."""
+
+import numpy as np
+import pytest
+
+
+def test_runner_sharded_matches_single(monkeypatch, rng):
+    monkeypatch.setenv("GAITLAB_BUCKETS", "8")
+    import jax
+
+    from gaitlab.nn.grnet import GRNet
+    from gaitlab.parallel import make_mesh
+    from gaitlab.pipeline.runner import GRNetRunner
+
+    model = GRNet.create()
+    frames = rng.integers(0, 255, (8, 96, 128, 3)).astype(np.uint8)
+    bboxes = np.tile(np.array([64.0, 48.0, 70.0, 70.0], np.float32), (8, 1))
+
+    single = GRNetRunner(model).run_track(frames, bboxes)
+
+    mesh = make_mesh(8, model=1)
+    sharded = GRNetRunner(model, mesh=mesh).run_track(frames, bboxes)
+
+    for k in single:
+        # sharded execution changes f32 reduction order slightly; joints2d
+        # additionally amplifies cam differences through the perspective
+        # division (random-weight cam scale sits near the singularity)
+        rtol = 1e-2 if k == "joints2d" else 2e-3
+        np.testing.assert_allclose(sharded[k], single[k], rtol=rtol,
+                                   atol=1e-3, err_msg=k)
+
+
+def test_fetch_helpers(tmp_path, monkeypatch):
+    from gaitlab.pipeline import fetch
+
+    asset = tmp_path / "assets" / "ckpt.bin"
+    asset.parent.mkdir(parents=True)
+    asset.write_bytes(b"x")
+    monkeypatch.setattr(fetch, "ASSET_DIR", str(tmp_path / "assets"))
+    assert fetch.resolve_asset("ckpt.bin") == str(asset)
+    with pytest.raises(FileNotFoundError):
+        fetch.resolve_asset("missing.bin")
+
+    # local file passthrough for the youtube helper
+    vid = tmp_path / "clip.mp4"
+    vid.write_bytes(b"v")
+    out = fetch.download_youtube_clip(str(vid), str(tmp_path / "dl"))
+    assert out.endswith("clip.mp4")
+    with pytest.raises(RuntimeError):
+        fetch.download_youtube_clip("https://youtu.be/xyz", str(tmp_path))
