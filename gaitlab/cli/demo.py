@@ -151,8 +151,10 @@ def main(args):
     from gaitlab.config import parse_args
     from gaitlab.pipeline import coords, smoothing, video
     from gaitlab.pipeline.runner import GRNetRunner
+    from gaitlab.utils import StageTimer, profile_trace
 
     total_time = time.time()
+    timer = StageTimer()
     cfg, _ = parse_args(args)
 
     if args.cpu_only:
@@ -180,13 +182,15 @@ def main(args):
         first = cv2.imread(files[0])
         orig_height, orig_width = first.shape[:2]
     else:
-        image_folder, num_frames, img_shape = video.video_to_images(
-            video_file, return_info=True)
+        with timer.stage("decode"):
+            image_folder, num_frames, img_shape = video.video_to_images(
+                video_file, return_info=True)
         orig_height, orig_width = img_shape[:2]
 
     print(f"Input video number of frames {num_frames}")
 
-    tracking_results, num_frames_list = run_tracking(args, image_folder)
+    with timer.stage("tracking"):
+        tracking_results, num_frames_list = run_tracking(args, image_folder)
     for person_id in list(tracking_results.keys()):
         if tracking_results[person_id]["frames"].shape[0] < MIN_NUM_FRAMES:
             del tracking_results[person_id]
@@ -198,6 +202,8 @@ def main(args):
     print("Running Model on each tracklet...")
     grnet_time = time.time()
     grnet_results = {}
+    profile_ctx = profile_trace()
+    profile_ctx.__enter__()
     for person_id in list(tracking_results.keys()):
         bboxes = np.array(tracking_results[person_id]["bbox"], np.float32)
         frames = np.asarray(tracking_results[person_id]["frames"])
@@ -243,6 +249,8 @@ def main(args):
                 print(f"Unknown skeleton type: {args.joint_type}.")
         grnet_results[person_id] = output_dict
 
+    profile_ctx.__exit__(None, None, None)
+    timer.stages["model"] = time.time() - grnet_time
     fps = len(num_frames_list) / (time.time() - grnet_time)
     print(f"VIBE FPS: {fps:.2f}")
     t = time.time() - total_time
@@ -263,6 +271,8 @@ def main(args):
         from gaitlab.render import overlay
 
         save_name = osp.join(output_path, pklname.split(".")[0] + ".mp4")
+        timer.stages.setdefault("render", 0.0)
+        t_render = time.time()
         overlay.render_video(
             grnet_results, num_frames_list, image_folder, save_name,
             orig_size=(orig_width, orig_height),
@@ -271,9 +281,11 @@ def main(args):
             smpl_faces=(model.smpl.faces
                         if model.smpl.faces is not None else None),
         )
+        timer.stages["render"] = time.time() - t_render
 
     if not args.img_folder:
         shutil.rmtree(image_folder)
+    print("Stage timing:\n" + timer.report())
     print("================= END =================")
     return grnet_results
 
