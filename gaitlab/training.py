@@ -81,6 +81,33 @@ def grnet_loss(
                    "loss_pose": lpose, "loss_shape": lshape}
 
 
+def gait_loss(
+    pred_avg: Array,
+    pred_phase: Array,
+    gt_avg: Array,
+    gt_phase: Array,
+    w_avg: float = 1.0,
+    w_phase: float = 1.0,
+) -> tuple[Array, dict]:
+    """Gait-parameter supervision for the GaitFeat branch (the reference's
+    use_gt_gaitfeat intent, feature_correction.py:19,126-129).
+
+    pred_avg/gt_avg: (B, 3) walk-speed + step params; pred_phase/gt_phase:
+    (B, T, 4) two unit-circle phase pairs. Phase loss is 1 - cos between
+    the predicted and target phase vectors per pair (rotation-aware).
+    """
+    l_avg = jnp.mean((pred_avg - gt_avg) ** 2)
+
+    def cos_loss(p, g):
+        nrm = lambda v: v / (jnp.linalg.norm(v, axis=-1, keepdims=True) + 1e-9)
+        return 1.0 - jnp.sum(nrm(p) * nrm(g), axis=-1)
+
+    l_phase = jnp.mean(cos_loss(pred_phase[..., :2], gt_phase[..., :2])
+                       + cos_loss(pred_phase[..., 2:], gt_phase[..., 2:]))
+    total = w_avg * l_avg + w_phase * l_phase
+    return total, {"loss_gait_avg": l_avg, "loss_gait_phase": l_phase}
+
+
 def make_train_step(
     module: GRNetCore,
     smpl_params: body_smpl.SMPLParams,

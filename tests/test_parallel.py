@@ -46,6 +46,22 @@ def test_graft_entry_single():
     assert np.all(np.isfinite(np.asarray(kp3d)))
 
 
+def test_gait_loss():
+    import jax.numpy as jnp
+
+    from gaitlab.training import gait_loss
+
+    b, t = 2, 5
+    avg = jnp.ones((b, 3))
+    phase = jnp.tile(jnp.asarray([1.0, 0.0, 0.0, 1.0]), (b, t, 1))
+    total, m = gait_loss(avg, phase, avg, phase)
+    assert float(total) < 1e-6  # perfect prediction -> zero loss
+    # orthogonal phase -> cos loss of 1 per pair
+    phase_bad = jnp.tile(jnp.asarray([0.0, 1.0, 1.0, 0.0]), (b, t, 1))
+    total2, _ = gait_loss(avg, phase_bad, avg, phase)
+    assert float(total2) == pytest.approx(2.0, rel=1e-4)
+
+
 def test_train_step_decreases_loss():
     import optax
 

@@ -93,6 +93,32 @@ def test_weight_cache_roundtrip(tmp_path):
     assert len(calls) == 2
 
 
+def test_vis_panels(rng):
+    from gaitlab.render import vis
+
+    img = rng.normal(size=(224, 224, 3)).astype(np.float32)
+    kp = rng.uniform(-1, 1, (29, 2)).astype(np.float32)
+    panel = vis.visualize_preds(img, kp, kp * 0.9)
+    assert panel.shape == (224, 448, 3) and panel.dtype == np.uint8
+    batch = vis.visualize_batch_preds(
+        np.stack([img] * 3), np.stack([kp] * 3), np.stack([kp] * 3),
+        max_items=2)
+    assert batch.shape == (448, 448, 3)
+
+    u8 = vis.denormalize_image(np.zeros((8, 8, 3), np.float32))
+    assert u8.dtype == np.uint8
+
+
+def test_render_image(rng):
+    from gaitlab.render import vis
+
+    img = np.zeros((120, 160, 3), np.uint8)
+    verts = rng.normal(size=(30, 3))
+    faces = np.array([[i, (i + 1) % 30, (i + 2) % 30] for i in range(28)])
+    out = vis.render_image(img, verts, [0.9, 0.9, 0, 0], faces)
+    assert out.shape == img.shape
+
+
 def test_resnet_variants_shapes():
     import jax
 
