@@ -18,7 +18,6 @@ Differences by design (TPU-native, documented in README):
 from __future__ import annotations
 
 import argparse
-import colorsys
 import os
 import os.path as osp
 import shutil

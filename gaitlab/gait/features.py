@@ -16,8 +16,6 @@ Joint layout: kinectv2 25-joint (gaitlab.body.joints registry).
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

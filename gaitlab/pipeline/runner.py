@@ -20,7 +20,6 @@ from __future__ import annotations
 
 import bisect
 from dataclasses import dataclass, field
-from functools import partial
 from typing import Optional, Sequence
 
 import jax
@@ -29,7 +28,6 @@ import numpy as np
 
 from gaitlab.nn.grnet import GRNet, vp_regress
 from gaitlab.pipeline import crop as crop_mod
-from gaitlab.pipeline import video as video_mod
 
 DEFAULT_BUCKETS = (32, 64, 128, 256, 450)
 

@@ -15,8 +15,7 @@ Output contract matches MPT's `output_format='dict'`:
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Callable, Iterable, Optional, Sequence
+from typing import Iterable, Optional
 
 import numpy as np
 
