@@ -29,8 +29,15 @@ def load_pipeline(ckpt: str = "", smpl_model: Optional[str] = None,
     model = load_model(args, cfg=None)
     if use_gait_feat:
         from gaitlab.nn.grnet import GRNet
+        from gaitlab.weights import torch_import
 
-        model = GRNet.create(smpl_params=model.smpl, use_gait_feat=True)
+        gmodel = GRNet.create(smpl_params=model.smpl, use_gait_feat=True)
+        if ckpt and osp.isfile(ckpt):  # re-import weights into gait model
+            state = torch_import.load_torch_file(ckpt)
+            gen = state.get("gen_state_dict", state)
+            gmodel.variables, _, _ = torch_import.import_grnet_ckpt(
+                gen, gmodel.variables)
+        model = gmodel
     runner = GRNetRunner(model, precision=precision, mesh=mesh)
     return model, runner
 
