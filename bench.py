@@ -49,9 +49,18 @@ def main():
     variables = module.init(rng, images[:1])
     smpl = body_smpl.synthetic_smpl_params()
 
+    # fastest production mode: bf16 conv trunk, f32 SMPL/regression
+    # (GRNetRunner(trunk_dtype="bfloat16"); parity mode = precision
+    # "float32", 690 fps/chip — see BASELINE.md for the full sweep)
+    cast = lambda x: (x.astype(jnp.bfloat16)
+                      if jnp.issubdtype(x.dtype, jnp.floating) else x)
+
     @jax.jit
     def fwd(variables, smpl, images, bias):
-        patt = module.apply(variables, images + bias)
+        v16 = jax.tree_util.tree_map(cast, variables)
+        patt = module.apply(v16, (images + bias).astype(jnp.bfloat16))
+        patt = {k: (v.astype(jnp.float32) if hasattr(v, "astype") else v)
+                for k, v in patt.items()}
         out = vp_regress(smpl, patt, batch_size=1, joint_mode="spin2")[0]
         return out["kp_3d"], out["theta"], out["kp_2d"]
 

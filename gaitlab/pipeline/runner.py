@@ -44,6 +44,10 @@ class GRNetRunner:
     # reference (SURVEY.md §7 hard part #4 — default bf16 matmul noise
     # compounds through ~100 conv layers); "default" is the fast bf16 path.
     precision: str = "float32"
+    # trunk compute dtype: "bfloat16" halves activation HBM traffic for the
+    # conv trunk (params cast in-graph; SMPL + regression stay f32). Fast
+    # mode — NOT the parity path.
+    trunk_dtype: Optional[str] = None
     _fwd_cache: dict = field(default_factory=dict, repr=False)
 
     def __post_init__(self):
@@ -65,6 +69,8 @@ class GRNetRunner:
 
         precision = self.precision
         gait = module.use_gait_feat
+        trunk_dtype = (jnp.dtype(self.trunk_dtype)
+                       if self.trunk_dtype else None)
 
         def fwd(variables, smpl, images, bbox=None, cimg=None):
             import contextlib
@@ -74,7 +80,19 @@ class GRNetRunner:
                    else contextlib.nullcontext())
             with ctx:
                 kw = dict(bbox=bbox, cimg=cimg) if gait else {}
+                if trunk_dtype is not None:
+                    # cast trunk params + crops in-graph (fast mode); the
+                    # head emits f32 predictions for the f32 SMPL path
+                    cast = lambda x: (x.astype(trunk_dtype)
+                                      if jnp.issubdtype(x.dtype, jnp.floating)
+                                      else x)
+                    variables = jax.tree_util.tree_map(cast, variables)
+                    images = images.astype(trunk_dtype)
                 patt = module.apply(variables, images, **kw)
+                if trunk_dtype is not None:
+                    patt = {k: (v.astype(jnp.float32)
+                                if hasattr(v, "astype") else v)
+                            for k, v in patt.items()}
                 out = vp_regress(smpl, patt, batch_size=1,
                                  joint_mode=joint_mode)[0]
             keep = ("theta", "verts", "kp_2d", "kp_3d", "pred_avg",

@@ -40,6 +40,38 @@ class LossWeights(NamedTuple):
     shape: float = 0.06
 
 
+def make_optimizer(
+    lr: float = 5e-5,
+    kind: str = "adam",
+    schedule: Optional[str] = None,
+    total_steps: int = 10000,
+    warmup_steps: int = 0,
+    weight_decay: float = 0.0,
+    momentum: float = 0.9,
+) -> optax.GradientTransformation:
+    """Optimizer + LR-schedule factory (reference utils.py:68-135
+    get_optimizer / lr-decay helpers, rebuilt on optax).
+
+    kind: adam | adamw | sgd. schedule: None | "cosine" | "step"
+    (step = x0.1 at 60%/80% of total_steps, the torch MultiStepLR idiom).
+    """
+    if schedule == "cosine":
+        lr_s = optax.warmup_cosine_decay_schedule(
+            0.0, lr, max(warmup_steps, 1), total_steps)
+    elif schedule == "step":
+        lr_s = optax.piecewise_constant_schedule(
+            lr, {int(total_steps * 0.6): 0.1, int(total_steps * 0.8): 0.1})
+    else:
+        lr_s = lr
+    if kind == "adam":
+        return optax.adam(lr_s)
+    if kind == "adamw":
+        return optax.adamw(lr_s, weight_decay=weight_decay)
+    if kind == "sgd":
+        return optax.sgd(lr_s, momentum=momentum)
+    raise ValueError(f"unknown optimizer kind: {kind}")
+
+
 def create_train_state(params, optimizer: optax.GradientTransformation) -> TrainState:
     return TrainState(params=params, opt_state=optimizer.init(params),
                       step=jnp.zeros((), jnp.int32))

@@ -22,39 +22,9 @@ def _ref_img_utils():
         sys.modules.update(
             {"skimage": sk, "skimage.util": sku, "skimage.util.shape": sks}
         )
-    # Minimal torchvision.transforms shim (ToTensor/Normalize/Compose).
-    if "torchvision" not in sys.modules:
-        import torch
-
-        class _ToTensor:
-            def __call__(self, img):
-                t = torch.from_numpy(np.ascontiguousarray(img)).permute(2, 0, 1)
-                return t.float() / 255.0
-
-        class _Normalize:
-            def __init__(self, mean, std):
-                self.mean = torch.tensor(mean).view(-1, 1, 1)
-                self.std = torch.tensor(std).view(-1, 1, 1)
-
-            def __call__(self, t):
-                return (t - self.mean) / self.std
-
-        class _Compose:
-            def __init__(self, ts):
-                self.ts = ts
-
-            def __call__(self, x):
-                for t in self.ts:
-                    x = t(x)
-                return x
-
-        tv = types.ModuleType("torchvision")
-        tvt = types.ModuleType("torchvision.transforms")
-        tvt.ToTensor = _ToTensor
-        tvt.Normalize = _Normalize
-        tvt.Compose = _Compose
-        tv.transforms = tvt
-        sys.modules.update({"torchvision": tv, "torchvision.transforms": tvt})
+    # Full torchvision/timm shims from refutil — a partial shim here would
+    # shadow the complete one for later tests in the same process.
+    refutil.install_misc_shims()
     return refutil.load_module_from_path(
         "ref_img_utils", refutil.REF + "/lib/data_utils/img_utils.py"
     )
