@@ -42,7 +42,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output_folder", type=str, default="output/",
                    help="output folder to write results")
     p.add_argument("--detector", type=str, default="yolo",
-                   choices=["yolo", "median_bg"],
+                   choices=["yolo", "median_bg", "dnn"],
                    help="object detector to be used for bbox tracking")
     p.add_argument("--yolo_img_size", type=int, default=416,
                    help="input image size for yolo detector")
@@ -140,7 +140,7 @@ def run_tracking(args, image_folder):
         print(f'Loaded precomputed tracklets from "{trackpath}"')
     else:
         frames = video.load_frames(video.list_image_files(image_folder))
-        detector = detect.MedianBackgroundDetector()
+        detector = detect.get_detector(args.detector)
         tracking_results = tracks.track_video(detector(frames))
     return tracks.smooth_tracking(tracking_results)
 

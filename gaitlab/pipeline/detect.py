@@ -62,6 +62,87 @@ def _connected_components_boxes(mask: np.ndarray, min_area: int) -> np.ndarray:
     return np.array(boxes, np.float32).reshape(-1, 5)
 
 
+class DnnPersonDetector:
+    """Neural person detector over cv2.dnn for user-supplied weights.
+
+    The reference downloads YOLOv3 weights at install time
+    (requirements.txt:27-28); with zero egress here, the user provides the
+    model file (YOLO .onnx, or .weights+.cfg). Outputs are filtered to the
+    person class (COCO id 0) and NMS'd.
+    """
+
+    def __init__(self, model_path: str, config_path: Optional[str] = None,
+                 input_size: int = 416, score_threshold: float = 0.4,
+                 nms_threshold: float = 0.45, person_class: int = 0):
+        import cv2
+
+        if config_path:
+            self.net = cv2.dnn.readNet(model_path, config_path)
+        else:
+            self.net = cv2.dnn.readNet(model_path)
+        self.input_size = input_size
+        self.score_threshold = score_threshold
+        self.nms_threshold = nms_threshold
+        self.person_class = person_class
+
+    def _detect_one(self, frame: np.ndarray) -> np.ndarray:
+        import cv2
+
+        h, w = frame.shape[:2]
+        blob = cv2.dnn.blobFromImage(
+            frame, 1.0 / 255.0, (self.input_size, self.input_size),
+            swapRB=False, crop=False)
+        self.net.setInput(blob)
+        outs = self.net.forward(self.net.getUnconnectedOutLayersNames())
+        boxes, scores = [], []
+        for out in outs:
+            out = out.reshape(-1, out.shape[-1])
+            for row in out:  # YOLO layout: cx,cy,w,h,obj,cls...
+                cls_scores = row[5:]
+                if cls_scores.size and np.argmax(cls_scores) != self.person_class:
+                    continue
+                conf = float(row[4] * (cls_scores[self.person_class]
+                                       if cls_scores.size else 1.0))
+                if conf < self.score_threshold:
+                    continue
+                cx, cy, bw, bh = row[:4] * np.array([w, h, w, h])
+                boxes.append([cx - bw / 2, cy - bh / 2, bw, bh])
+                scores.append(conf)
+        if not boxes:
+            return np.zeros((0, 5), np.float32)
+        idx = cv2.dnn.NMSBoxes(boxes, scores, self.score_threshold,
+                               self.nms_threshold)
+        out = []
+        for i in np.ravel(idx):
+            x, y, bw, bh = boxes[i]
+            out.append([x, y, x + bw, y + bh, scores[i]])
+        return np.array(out, np.float32).reshape(-1, 5)
+
+    def __call__(self, frames: np.ndarray) -> List[np.ndarray]:
+        return [self._detect_one(f) for f in frames]
+
+
+def get_detector(name: str = "median_bg", **kw) -> "Detector":
+    """Detector factory for the CLI --detector flag.
+
+    'yolo' uses DnnPersonDetector when GAITLAB_DETECTOR_MODEL points to a
+    weights file, else falls back to the offline median-background
+    detector (this environment cannot download YOLO weights)."""
+    import os
+
+    if name == "yolo":
+        model = os.environ.get("GAITLAB_DETECTOR_MODEL")
+        if model:
+            return DnnPersonDetector(
+                model, os.environ.get("GAITLAB_DETECTOR_CONFIG"), **kw)
+        return MedianBackgroundDetector()
+    if name == "median_bg":
+        return MedianBackgroundDetector(**kw)
+    if name == "dnn":
+        return DnnPersonDetector(**kw)
+    raise ValueError(f"unknown detector: {name}")
+
+
 class MedianBackgroundDetector:
     """Static-camera person detector: median background + foreground blobs.
 
