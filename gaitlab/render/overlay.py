@@ -35,6 +35,7 @@ def render_video(
     joint_type: str = "spin2",
     smpl_faces: Optional[np.ndarray] = None,
     seed: int = 0,
+    renderer: str = "painter",  # "painter" (host) or "zbuffer" (JAX device)
 ) -> str:
     """Write the overlay video next to the pkl (reference demo.py:270-387)."""
     import cv2
@@ -75,17 +76,20 @@ def render_video(
             continue
 
         if mesh_render:
+            if renderer == "zbuffer" and not wireframe:
+                from gaitlab.render.raster_jax import render_mesh_jax
+                draw = lambda im, pd, c, **kw: render_mesh_jax(
+                    im, pd["verts"], pd["cam"], smpl_faces, color=c)
+            else:
+                draw = lambda im, pd, c, **kw: raster.render_mesh(
+                    im, pd["verts"], pd["cam"], smpl_faces, color=c,
+                    wireframe=wireframe, **kw)
             side = np.zeros_like(img) if sideview else None
             for person_id, pd in people.items():
-                img = raster.render_mesh(
-                    img, pd["verts"], pd["cam"], smpl_faces,
-                    color=mesh_color[person_id][::-1],  # BGR image
-                    wireframe=wireframe)
+                img = draw(img, pd, mesh_color[person_id][::-1])  # BGR image
                 if sideview:
-                    side = raster.render_mesh(
-                        side, pd["verts"], pd["cam"], smpl_faces,
-                        color=mesh_color[person_id][::-1],
-                        wireframe=wireframe, angle=270, axis=[0, 1, 0])
+                    side = draw(side, pd, mesh_color[person_id][::-1],
+                                angle=270, axis=[0, 1, 0])
             if sideview:
                 img = np.concatenate([img, side], axis=1)
             cv2.imwrite(out_path, img)
