@@ -112,14 +112,16 @@ def _gather_lerp(x: Array, lo: Array, frac: Array, vlo: Array, vhi: Array,
 
 
 def _expand(idx: Array, x: Array, axis: int) -> Array:
-    """(B,D) indices -> broadcastable int index array for take_along_axis."""
+    """(B,D) indices -> take_along_axis index view.
+
+    take_along_axis broadcasts non-axis dims, so a (B,D,1,1)-shaped view is
+    enough — materializing a full (B,D,W,C) index tensor would cost GBs on
+    1080p batches.
+    """
     shape = [1] * x.ndim
     shape[0] = idx.shape[0]
     shape[axis] = idx.shape[1]
-    return idx.reshape(shape) * jnp.ones([s if i not in (0, axis) else 1
-                                          for i, s in enumerate(x.shape)],
-                                         jnp.int32).reshape(
-        [1 if i in (0, axis) else s for i, s in enumerate(x.shape)])
+    return idx.reshape(shape)
 
 
 def _expand_f(w: Array, x: Array, axis: int) -> Array:
