@@ -97,16 +97,30 @@ def update_cfg(cfg_file: str) -> ConfigNode:
     return cfg.clone()
 
 
+DEFAULT_CFG_FILE = "configs/config_grnet.yaml"
+
+
 def parse_args(args=None):
-    """(cfg, cfg_file) from an argparse namespace with `.cfg`, or argv."""
+    """(cfg, cfg_file) from an argparse namespace with `.cfg`, or argv.
+
+    A missing cfg file is fatal when explicitly requested; the *default*
+    path falls back to built-in defaults (also tries the gaitlab repo's
+    shipped configs/ when the CWD has none) so the CLIs work from any
+    directory."""
     if args is None:
         parser = argparse.ArgumentParser()
         parser.add_argument("--cfg", type=str, help="cfg file path")
         args = parser.parse_args()
         print(args, end="\n\n")
     cfg_file = args.cfg
-    if args.cfg is not None:
-        cfg = update_cfg(args.cfg)
-    else:
-        cfg = get_cfg_defaults()
-    return cfg, cfg_file
+    if cfg_file is None:
+        return get_cfg_defaults(), None
+    if not osp.isfile(cfg_file) and cfg_file == DEFAULT_CFG_FILE:
+        shipped = osp.join(osp.dirname(osp.dirname(osp.abspath(__file__))),
+                           DEFAULT_CFG_FILE)
+        if osp.isfile(shipped):
+            cfg_file = shipped
+        else:
+            print(f"config '{args.cfg}' not found; using built-in defaults")
+            return get_cfg_defaults(), None
+    return update_cfg(cfg_file), cfg_file

@@ -194,8 +194,11 @@ class GRNet:
         if module.use_gait_feat:
             init_kwargs = dict(bbox=jnp.ones((1, 4), jnp.float32) * 100,
                                cimg=jnp.ones((1, 2), jnp.float32) * 100)
-        variables = module.init(rng, jnp.zeros((1, 224, 224, 3), jnp.float32),
-                                **init_kwargs)
+        # Initialise on CPU: tracing init through the TPU tunnel costs
+        # minutes; params transfer to the accelerator on first use.
+        with jax.default_device(jax.local_devices(backend="cpu")[0]):
+            variables = module.init(
+                rng, jnp.zeros((1, 224, 224, 3), jnp.float32), **init_kwargs)
         if smpl_params is None:
             smpl_params = body_smpl.synthetic_smpl_params()
         return GRNet(module=module, variables=variables, smpl=smpl_params,

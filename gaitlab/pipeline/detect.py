@@ -157,17 +157,17 @@ class MedianBackgroundDetector:
         self.max_model_frames = max_model_frames
 
     def __call__(self, frames: np.ndarray) -> List[np.ndarray]:
-        import jax.numpy as jnp
-
+        # Pure-host numpy: the math is tiny, and accelerator dispatch
+        # through a remote/tunneled device costs far more than it saves
+        # (measured minutes on the axon TPU tunnel).
         frames = np.asarray(frames)
         n, h, w = frames.shape[:3]
         idx = np.linspace(0, n - 1, min(n, self.max_model_frames)).astype(int)
-        sample = jnp.asarray(frames[idx], jnp.float32)
-        background = jnp.median(sample, axis=0)  # (H,W,3)
-        # Per-frame foreground distance, one fused device program.
-        diff = jnp.abs(jnp.asarray(frames, jnp.float32) - background)
-        fg = (jnp.max(diff, axis=-1) > self.threshold)
-        fg_np = np.asarray(fg)
+        background = np.median(frames[idx].astype(np.float32), axis=0)
         min_area = int(self.min_area_frac * h * w)
-        return [_connected_components_boxes(fg_np[i], min_area)
-                for i in range(n)]
+        out = []
+        for i in range(n):
+            diff = np.abs(frames[i].astype(np.float32) - background)
+            fg = diff.max(axis=-1) > self.threshold
+            out.append(_connected_components_boxes(fg, min_area))
+        return out
