@@ -186,6 +186,7 @@ class GRNet:
         smpl_params: Optional[body_smpl.SMPLParams] = None,
         seed: int = 0,
         joint_mode: str = "spin2",
+        cache_init: bool = True,
         **module_kwargs,
     ) -> "GRNet":
         module = GRNetCore(**module_kwargs)
@@ -194,11 +195,22 @@ class GRNet:
         if module.use_gait_feat:
             init_kwargs = dict(bbox=jnp.ones((1, 4), jnp.float32) * 100,
                                cimg=jnp.ones((1, 2), jnp.float32) * 100)
-        # Initialise on CPU: tracing init through the TPU tunnel costs
-        # minutes; params transfer to the accelerator on first use.
-        with jax.default_device(jax.local_devices(backend="cpu")[0]):
-            variables = module.init(
-                rng, jnp.zeros((1, 224, 224, 3), jnp.float32), **init_kwargs)
+
+        def build():
+            # Initialise on CPU: tracing init through the TPU tunnel costs
+            # minutes; params transfer to the accelerator on first use.
+            with jax.default_device(jax.local_devices(backend="cpu")[0]):
+                return module.init(
+                    rng, jnp.zeros((1, 224, 224, 3), jnp.float32),
+                    **init_kwargs)
+
+        if cache_init:
+            from gaitlab.weights.cache import memo_tree
+
+            key = f"grnet-init|seed={seed}|{repr(module)}"
+            variables = memo_tree(key, build)
+        else:
+            variables = build()
         if smpl_params is None:
             smpl_params = body_smpl.synthetic_smpl_params()
         return GRNet(module=module, variables=variables, smpl=smpl_params,

@@ -48,6 +48,31 @@ def load(path: str, like: Any) -> Any:
     return ckptr.restore(osp.abspath(path), target=like)
 
 
+def memo_tree(cache_key: str, builder: Callable[[], Any],
+              cache_dir: Optional[str] = None) -> Any:
+    """Disk-memoise an arbitrary array pytree by a string key (e.g. random
+    model-variable initialisation — eager flax init of the full GRNet costs
+    minutes; restoring the cached tree takes seconds)."""
+    root = cache_dir or DEFAULT_CACHE_DIR
+    key = hashlib.sha256(cache_key.encode()).hexdigest()[:16]
+    d = osp.join(root, f"memo.{key}")
+    if osp.isdir(d):
+        try:
+            import orbax.checkpoint as ocp
+
+            ckptr = ocp.StandardCheckpointer()
+            return ckptr.restore(osp.abspath(d))  # target-free restore
+        except Exception:
+            pass
+    tree = builder()
+    try:
+        os.makedirs(root, exist_ok=True)
+        save(tree, d)
+    except Exception as e:
+        print(f"memo_tree cache write failed ({e}); continuing uncached")
+    return tree
+
+
 def convert_cached(
     src_path: str,
     like: Any,
