@@ -81,12 +81,8 @@ class GRNetRunner:
             with ctx:
                 kw = dict(bbox=bbox, cimg=cimg) if gait else {}
                 if trunk_dtype is not None:
-                    # cast trunk params + crops in-graph (fast mode); the
-                    # head emits f32 predictions for the f32 SMPL path
-                    cast = lambda x: (x.astype(trunk_dtype)
-                                      if jnp.issubdtype(x.dtype, jnp.floating)
-                                      else x)
-                    variables = jax.tree_util.tree_map(cast, variables)
+                    # crops cast in-graph; params arrive pre-cast (see
+                    # _trunk_variables) so the cast isn't repeated per call
                     images = images.astype(trunk_dtype)
                 patt = module.apply(variables, images, **kw)
                 if trunk_dtype is not None:
@@ -112,6 +108,18 @@ class GRNetRunner:
             jfwd = jax.jit(fwd)
         self._fwd_cache[n] = jfwd
         return jfwd
+
+    def _trunk_variables(self):
+        """Model variables, pre-cast once when a trunk dtype is set."""
+        if not self.trunk_dtype:
+            return self.model.variables
+        if getattr(self, "_cast_vars", None) is None:
+            dt = jnp.dtype(self.trunk_dtype)
+            cast = lambda x: (x.astype(dt)
+                              if jnp.issubdtype(x.dtype, jnp.floating) else x)
+            self._cast_vars = jax.tree_util.tree_map(
+                cast, self.model.variables)
+        return self._cast_vars
 
     def _bucket(self, n: int) -> int:
         i = bisect.bisect_left(self.buckets, n)
@@ -143,7 +151,7 @@ class GRNetRunner:
                         if bbox is not None else None, m, b)
             ci = pad_to(jnp.asarray(cimg[start : start + m], jnp.float32)
                         if cimg is not None else None, m, b)
-            out = self._forward(b)(self.model.variables, self.model.smpl,
+            out = self._forward(b)(self._trunk_variables(), self.model.smpl,
                                    piece, bb, ci)
             outs.append({k: np.asarray(v[:m]) if k != "pred_avg"
                          else np.asarray(v) for k, v in out.items()})
