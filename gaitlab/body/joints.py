@@ -236,18 +236,6 @@ register_format("h36m32", [
     "rightThumb", "rightHandTip", "rightHand2",
 ])
 
-register_format("OP21a", [
-    "OP Nose", "OP Neck", "OP RShoulder", "OP RElbow", "OP RWrist",
-    "OP LShoulder", "OP LElbow", "OP LWrist", "OP MidHip", "OP RHip",
-    "OP RKnee", "OP RAnkle", "OP LHip", "OP LKnee", "OP LAnkle",
-    "OP REye", "OP LEye", "OP REar", "OP LEar", "Jaw (H36M)", "headtop",
-], skeleton=[
-    [1, 19], [0, 19], [1, 8], [0, 20], [1, 5], [1, 2], [5, 6], [2, 3],
-    [6, 7], [3, 4], [8, 12], [1, 8], [12, 13], [8, 9], [13, 14], [9, 10],
-    [0, 16], [10, 11], [16, 18], [0, 15],
-])
-
-
 # ---------------------------------------------------------------------------
 # conversion / utilities
 # ---------------------------------------------------------------------------

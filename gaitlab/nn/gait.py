@@ -50,16 +50,27 @@ class BiGRU(nn.Module):
     num_layers: int = 2
 
     @nn.compact
-    def __call__(self, x: Array):
+    def __call__(self, x: Array, seq_lengths: Optional[Array] = None):
+        """x (B,T,C); seq_lengths (B,) optional valid-frame counts — padded
+        tail frames then neither feed the backward pass nor pollute the
+        final states (runner tail-padding, pipeline/runner.py)."""
         finals = []
         for layer in range(self.num_layers):
             # nn.RNN is scope-transparent: name the cells themselves
             fwd = nn.RNN(nn.GRUCell(self.hidden_size, name=f"l{layer}_fwd"))
             bwd = nn.RNN(nn.GRUCell(self.hidden_size, name=f"l{layer}_bwd"))
-            y_f = fwd(x)
-            y_b = bwd(x[:, ::-1, :])[:, ::-1, :]
+            if seq_lengths is None:
+                y_f = fwd(x)
+                y_b = bwd(x[:, ::-1, :])[:, ::-1, :]
+                f_fwd, f_bwd = y_f[:, -1], y_b[:, 0]
+            else:
+                f_fwd, y_f = fwd(x, seq_lengths=seq_lengths,
+                                 return_carry=True)
+                f_bwd, y_b = bwd(x, seq_lengths=seq_lengths,
+                                 return_carry=True, reverse=True,
+                                 keep_order=True)
             x = jnp.concatenate([y_f, y_b], axis=-1)
-            finals.extend([y_f[:, -1], y_b[:, 0]])
+            finals.extend([f_fwd, f_bwd])
         return x, jnp.concatenate(finals, axis=-1)
 
 
@@ -80,7 +91,8 @@ class GaitFeatEncoder(nn.Module):
     num_layers: int = 2
 
     @nn.compact
-    def __call__(self, x: Array, cparams: Array):
+    def __call__(self, x: Array, cparams: Array,
+                 seq_lengths: Optional[Array] = None):
         b, t, j, c = x.shape
         # camera-parameter embedding: per-joint unshared 3->C map, residual
         # (gait_feat_encoder.py:81-86)
@@ -90,7 +102,7 @@ class GaitFeatEncoder(nn.Module):
         x = x + xc
 
         seq, h = BiGRU(self.h_size, self.num_layers, name="rnn")(
-            x.reshape(b, t, j * c))
+            x.reshape(b, t, j * c), seq_lengths=seq_lengths)
 
         pred_avg = None
         if self.num_outputs > 0:
@@ -137,23 +149,35 @@ class TSAttention(nn.Module):
     num_heads: int
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
+    def __call__(self, x: Array,
+                 frame_mask: Optional[Array] = None) -> Array:
+        """frame_mask (B,T) bool, True = real frame: padded tail frames are
+        then excluded as temporal-attention keys and from the mixing mean."""
         b, t, nt, c = x.shape
         d = self.encode_dim - self.encode_dim % self.num_heads
         flat = x.reshape(b, t, nt * c)
 
-        # temporal: frames attend to frames
+        # temporal: frames attend to (valid) frames
+        tmask = (frame_mask[:, None, None, :] if frame_mask is not None
+                 else None)  # (B,1,Tq:any,Tk)
         x_t = nn.MultiHeadDotProductAttention(
             num_heads=self.num_heads, qkv_features=d, out_features=nt * c,
-            name="temporal")(flat, flat)
+            name="temporal")(flat, flat, mask=tmask)
         # spatial: tokens attend to tokens, per frame
         tok = x.reshape(b * t, nt, c)
         x_s = nn.MultiHeadDotProductAttention(
             num_heads=self.num_heads, qkv_features=d, out_features=c,
             name="spatial")(tok, tok).reshape(b, t, nt * c)
 
-        # learned per-channel softmax mixing (attention_utils.py:183-188)
-        alpha = jnp.concatenate([x_t, x_s], axis=-1).mean(axis=1, keepdims=True)
+        # learned per-channel softmax mixing (attention_utils.py:183-188);
+        # the mixing statistic averages over valid frames only
+        cat = jnp.concatenate([x_t, x_s], axis=-1)
+        if frame_mask is None:
+            alpha = cat.mean(axis=1, keepdims=True)
+        else:
+            w = frame_mask[..., None].astype(cat.dtype)
+            alpha = ((cat * w).sum(axis=1, keepdims=True)
+                     / jnp.maximum(w.sum(axis=1, keepdims=True), 1.0))
         alpha = nn.Dense(2 * nt * c, name="ts_attn")(alpha)
         alpha = jax.nn.softmax(alpha.reshape(b, 1, nt * c, 2), axis=-1)
         return (x_t * alpha[..., 0] + x_s * alpha[..., 1]).reshape(b, t, nt, c)
@@ -169,9 +193,11 @@ class TSAttnBlock(nn.Module):
     num_tokens: int = 25
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
+    def __call__(self, x: Array,
+                 frame_mask: Optional[Array] = None) -> Array:
         b, t, nt, c = x.shape
-        attn = TSAttention(self.encode_dim, self.num_heads, name="mulattn")(x)
+        attn = TSAttention(self.encode_dim, self.num_heads,
+                           name="mulattn")(x, frame_mask=frame_mask)
         x = nn.LayerNorm(name="norm1")(x + attn)
         if self.use_jwff:
             # joint-wise FFN: per-token unshared weights
@@ -206,11 +232,16 @@ class FeatCorrector(nn.Module):
     stop_gaitfeat_grad: bool = True  # use_gt_gaitfeat (feature_correction.py:19)
 
     @nn.compact
-    def __call__(self, x: Array, cparams: Array):
+    def __call__(self, x: Array, cparams: Array,
+                 seq_lengths: Optional[Array] = None):
         b, t, j, c = x.shape
+        frame_mask = None
+        if seq_lengths is not None:
+            frame_mask = jnp.arange(t)[None, :] < seq_lengths[:, None]
         pred_avg, pred_phase, _ = GaitFeatEncoder(
             num_joints=j, feat_dim=c, num_outputs=self.num_avg_gfeat,
-            estim_phase=self.estim_phase, name="featnet")(x, cparams)
+            estim_phase=self.estim_phase, name="featnet")(
+                x, cparams, seq_lengths=seq_lengths)
 
         # normalize the two phase 2-vectors to the unit circle
         # (feature_correction.py:118-122)
@@ -237,7 +268,8 @@ class FeatCorrector(nn.Module):
         y = tokens
         for i in range(self.num_layers):
             y = TSAttnBlock(self.h_size, self.num_heads, self.use_jwff,
-                            num_tokens=j + 1, name=f"block{i}")(y)
+                            num_tokens=j + 1, name=f"block{i}")(
+                                y, frame_mask=frame_mask)
         corrected = x + y[:, :, :j, :]  # residual, drop the gait token
         return corrected, pred_avg, pred_phase
 

@@ -81,9 +81,14 @@ class GRNetCore(nn.Module):
 
     def __call__(self, images: Array, train: bool = False,
                  bbox: Optional[Array] = None,
-                 cimg: Optional[Array] = None) -> dict:
+                 cimg: Optional[Array] = None,
+                 n_valid: Optional[Array] = None) -> dict:
         """images: (N, 224, 224, 3) normalized crops (NHWC); one track
-        (N = frames). bbox/cimg feed the gait branch (grnet.py:154-169)."""
+        (N = frames). bbox/cimg feed the gait branch (grnet.py:154-169).
+        n_valid (scalar int) marks how many leading frames are real when
+        the runner tail-pads to a bucket size — padded frames are masked
+        out of the gait GRU/attention so they can't skew the track-level
+        gait estimates."""
         features = self.backbone(images, train=False)  # frozen: BN inference
         if self.freeze_backbone:
             features = jax.lax.stop_gradient(features)  # grnet.py:145-146
@@ -98,9 +103,12 @@ class GRNetCore(nn.Module):
         patt = self.head.predict(feats["point_local_feat"],
                                  feats["cam_shape_feats"])
         cparams = gait_mod.camera_reparam(patt["pred_cam"], bbox, cimg)
+        seq_lengths = (jnp.asarray(n_valid, jnp.int32).reshape(1)
+                       if n_valid is not None else None)
         corrected, pred_avg, pred_phase = self.pfeat_corrector(
             feats["point_local_feat"][None],  # (1, N, J, C): one track
             cparams[None],
+            seq_lengths=seq_lengths,
         )
         out = self.head.predict(corrected[0], feats["cam_shape_feats"])
         out.update({k: v for k, v in feats.items()

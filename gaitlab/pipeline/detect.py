@@ -6,12 +6,16 @@ This framework makes the detector *pluggable*:
 
   * `Detector` — the protocol: frames (N,H,W,3) uint8 RGB ->
     list of (K_i, 5) [x1,y1,x2,y2,score] arrays.
+  * `YoloTinyDetector` — the in-repo neural detector: a Flax YOLOv3-tiny
+    (gaitlab.nn.yolo) with a darknet `.weights` importer, filtered to the
+    person class and NMS'd — the TPU-native stand-in for the reference's
+    downloaded YOLOv3 (/root/reference/demo.py:89-97).
   * `MedianBackgroundDetector` — a self-contained, dependency-free
-    detector for static-camera clips (the dementia-clinic gait videos the
+    fallback for static-camera clips (the dementia-clinic gait videos the
     reference targets are fixed-camera corridor walks): temporal-median
     background model + thresholded foreground -> connected components ->
-    person-shaped boxes. Runs its per-pixel math in JAX so the heavy part
-    (background subtraction over all frames) is one jitted TPU program.
+    person-shaped boxes. Pure host numpy: the math is tiny and dispatching
+    it through a remote TPU tunnel costs more than it saves.
   * `CallableDetector` — wraps any user function (an ONNX runtime, a
     torch model, precomputed boxes...) into the protocol.
 
@@ -21,7 +25,7 @@ The demo CLI also supports the reference's precomputed-tracklet path
 
 from __future__ import annotations
 
-from typing import Callable, Iterable, List, Protocol, Sequence
+from typing import Callable, Iterable, List, Optional, Protocol, Sequence
 
 import numpy as np
 
@@ -55,8 +59,8 @@ def _connected_components_boxes(mask: np.ndarray, min_area: int) -> np.ndarray:
         x, y, w, h, area = stats[i]
         if area < min_area:
             continue
-        if h < 1.2 * w * 0.5:  # reject very flat blobs (not person-shaped)
-            pass
+        if h < 0.6 * w:  # reject very flat blobs (not person-shaped)
+            continue
         score = min(1.0, area / (3.0 * min_area))
         boxes.append([x, y, x + w, y + h, score])
     return np.array(boxes, np.float32).reshape(-1, 5)

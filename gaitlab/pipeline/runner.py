@@ -72,14 +72,15 @@ class GRNetRunner:
         trunk_dtype = (jnp.dtype(self.trunk_dtype)
                        if self.trunk_dtype else None)
 
-        def fwd(variables, smpl, images, bbox=None, cimg=None):
+        def fwd(variables, smpl, images, bbox=None, cimg=None, n_valid=None):
             import contextlib
 
             ctx = (jax.default_matmul_precision(precision)
                    if precision and precision != "default"
                    else contextlib.nullcontext())
             with ctx:
-                kw = dict(bbox=bbox, cimg=cimg) if gait else {}
+                kw = (dict(bbox=bbox, cimg=cimg, n_valid=n_valid)
+                      if gait else {})
                 if trunk_dtype is not None:
                     # crops cast in-graph; params arrive pre-cast (see
                     # _trunk_variables) so the cast isn't repeated per call
@@ -102,7 +103,8 @@ class GRNetRunner:
 
             repl = NamedSharding(self.mesh, P())
             data = NamedSharding(self.mesh, P("data"))
-            jfwd = jax.jit(fwd, in_shardings=(repl, repl, data, None, None),
+            jfwd = jax.jit(fwd,
+                           in_shardings=(repl, repl, data, None, None, None),
                            out_shardings=repl)
         else:
             jfwd = jax.jit(fwd)
@@ -143,6 +145,8 @@ class GRNetRunner:
             rep = jnp.broadcast_to(arr[-1:], (b - m,) + tuple(arr.shape[1:]))
             return jnp.concatenate([arr, rep], axis=0)
 
+        lengths: list[int] = []
+        gait = self.model.module.use_gait_feat
         while start < n:
             m = min(max_b, n - start)
             b = self._bucket(m)
@@ -151,15 +155,21 @@ class GRNetRunner:
                         if bbox is not None else None, m, b)
             ci = pad_to(jnp.asarray(cimg[start : start + m], jnp.float32)
                         if cimg is not None else None, m, b)
+            nv = jnp.asarray(m, jnp.int32) if gait else None
             out = self._forward(b)(self._trunk_variables(), self.model.smpl,
-                                   piece, bb, ci)
+                                   piece, bb, ci, nv)
             outs.append({k: np.asarray(v[:m]) if k != "pred_avg"
                          else np.asarray(v) for k, v in out.items()})
+            lengths.append(m)
             start += m
         merged = {}
         for k in outs[0]:
-            if k == "pred_avg":  # per-chunk track-level estimate: average
-                merged[k] = np.mean([o[k][0] for o in outs], axis=0)
+            if k == "pred_avg":
+                # per-chunk track-level estimate: average, weighted by how
+                # many real frames each chunk holds (the tail chunk may be
+                # mostly padding)
+                merged[k] = np.average([o[k][0] for o in outs], axis=0,
+                                       weights=lengths)
             else:
                 merged[k] = np.concatenate([o[k] for o in outs], axis=0)
         return merged
