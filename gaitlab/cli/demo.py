@@ -266,6 +266,26 @@ def main(args):
     print(f'Saving complete output results to "{pklpath}".')
     joblib.dump(grnet_results, pklpath)
 
+    if args.save_obj and grnet_results:
+        # per-person per-frame meshes, reference naming
+        # (rendered/{person:04d}/{frame:06d}.obj — demo.py:333-338); written
+        # here from the results dict so the flag works with or without
+        # --mesh_render
+        from gaitlab.render import export
+
+        faces = model.smpl.faces
+        if faces is None:
+            print("WARNING: --save_obj needs SMPL faces; skipping.")
+        else:
+            for person_id, d in grnet_results.items():
+                folder = osp.join(output_path, "rendered", f"{person_id:04d}")
+                os.makedirs(folder, exist_ok=True)
+                for verts, fid in zip(d["verts"], d["frame_ids"]):
+                    export.export_obj(
+                        osp.join(folder, f"{int(fid):06d}.obj"), verts, faces)
+            print(f'Saved per-frame .obj meshes under '
+                  f'"{osp.join(output_path, "rendered")}".')
+
     if args.save_vid and grnet_results:
         from gaitlab.render import overlay
 
@@ -279,6 +299,7 @@ def main(args):
             sideview=args.sideview, joint_type=args.joint_type,
             smpl_faces=(model.smpl.faces
                         if model.smpl.faces is not None else None),
+            display=args.display,
         )
         timer.stages["render"] = time.time() - t_render
 

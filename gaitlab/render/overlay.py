@@ -36,8 +36,12 @@ def render_video(
     smpl_faces: Optional[np.ndarray] = None,
     seed: int = 0,
     renderer: str = "painter",  # "painter" (host) or "zbuffer" (JAX device)
+    display: bool = False,
 ) -> str:
-    """Write the overlay video next to the pkl (reference demo.py:270-387)."""
+    """Write the overlay video next to the pkl (reference demo.py:270-387).
+
+    display=True shows each rendered frame in a cv2 window (reference
+    demo.py:362-372); degrades to a one-time warning on headless hosts."""
     import cv2
 
     rng = np.random.default_rng(seed)
@@ -63,6 +67,28 @@ def render_video(
         some_person = next(iter(results.values()))
         rot_mat_body = vis.body_orientation_rotmat(
             some_person["joints3d"][min(10, len(some_person["joints3d"]) - 1)])
+
+    import sys
+
+    if display and sys.platform.startswith("linux") \
+            and not os.environ.get("DISPLAY"):
+        # headless OpenCV aborts the process inside imshow (no catchable
+        # exception), so the capability check must happen up front
+        print("WARNING: --display requires a display server ($DISPLAY is "
+              "unset); continuing without display.")
+        display = False
+
+    def show(frame_path):
+        nonlocal display
+        if not display:
+            return
+        try:
+            cv2.imshow("Video", cv2.imread(frame_path))
+            cv2.waitKey(1)
+        except cv2.error:
+            print("WARNING: --display needs a GUI-capable OpenCV/host; "
+                  "continuing without display.")
+            display = False
 
     for frame_idx in range(len(image_files)):
         img = cv2.imread(image_files[frame_idx])
@@ -93,6 +119,7 @@ def render_video(
             if sideview:
                 img = np.concatenate([img, side], axis=1)
             cv2.imwrite(out_path, img)
+            show(out_path)
         else:
             ax_in.clear()
             ax_in.set_axis_off()
@@ -112,6 +139,7 @@ def render_video(
                 j3d = np.einsum("ij,kj->ki", rot_mat_body, pd["j3d"])
                 vis.draw_3d_skeleton(j3d, ax_3d, dataset=joint_type)
             fig.savefig(out_path)
+            show(out_path)
 
     video_mod.images_to_video(output_img_folder, save_name)
     shutil.rmtree(output_img_folder)

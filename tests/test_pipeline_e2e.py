@@ -44,6 +44,8 @@ def test_demo_cli_end_to_end(tmp_path, monkeypatch):
         "--output_folder", out_dir,
         "--joint_type", "kinectv2",
         "--smooth",
+        "--save_obj",
+        "--display",  # headless here: must warn-and-continue, not crash
         "--cfg", "/root/reference/configs/config_grnet.yaml",
     ])
     results = demo.main(args)
@@ -72,6 +74,16 @@ def test_demo_cli_end_to_end(tmp_path, monkeypatch):
     # rendered video written (save_vid defaults True via store_false)
     vids = [f for f in os.listdir(run_dir) if f.endswith(".mp4")]
     assert vids, os.listdir(run_dir)
+
+    # --save_obj wrote per-person per-frame meshes with the reference
+    # naming (rendered/{person:04d}/{frame:06d}.obj, demo.py:333-338)
+    pid = next(iter(results.keys()))
+    obj_dir = osp.join(run_dir, "rendered", f"{pid:04d}")
+    objs = sorted(os.listdir(obj_dir))
+    assert len(objs) == n and objs[0].endswith(".obj")
+    with open(osp.join(obj_dir, objs[0])) as f:
+        head = f.readline()
+    assert head.startswith("v ")
 
 
 @pytest.mark.slow
