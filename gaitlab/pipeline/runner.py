@@ -57,7 +57,12 @@ class GRNetRunner:
             env = os.environ.get("GAITLAB_BUCKETS", "")
             self.buckets = (tuple(int(x) for x in env.split(",") if x)
                             if env else DEFAULT_BUCKETS)
-        self.buckets = tuple(sorted(self.buckets))
+        if self.mesh is not None:
+            # pjit shards the batch dim over "data": every static bucket
+            # size must be a multiple of that axis
+            d = self.mesh.shape["data"]
+            self.buckets = tuple({-(-b // d) * d for b in self.buckets})
+        self.buckets = tuple(sorted(set(self.buckets)))
 
     # -- model forward at a fixed bucket size --------------------------------
 
