@@ -66,6 +66,112 @@ def _connected_components_boxes(mask: np.ndarray, min_area: int) -> np.ndarray:
     return np.array(boxes, np.float32).reshape(-1, 5)
 
 
+def _nms(boxes: np.ndarray, scores: np.ndarray, iou_thr: float) -> list:
+    """Greedy IoU NMS (host numpy). boxes (K,4) xyxy."""
+    order = np.argsort(-scores)
+    keep = []
+    while order.size:
+        i = order[0]
+        keep.append(int(i))
+        if order.size == 1:
+            break
+        rest = order[1:]
+        xx1 = np.maximum(boxes[i, 0], boxes[rest, 0])
+        yy1 = np.maximum(boxes[i, 1], boxes[rest, 1])
+        xx2 = np.minimum(boxes[i, 2], boxes[rest, 2])
+        yy2 = np.minimum(boxes[i, 3], boxes[rest, 3])
+        inter = np.clip(xx2 - xx1, 0, None) * np.clip(yy2 - yy1, 0, None)
+        area_i = (boxes[i, 2] - boxes[i, 0]) * (boxes[i, 3] - boxes[i, 1])
+        area_r = ((boxes[rest, 2] - boxes[rest, 0])
+                  * (boxes[rest, 3] - boxes[rest, 1]))
+        iou = inter / np.maximum(area_i + area_r - inter, 1e-9)
+        order = rest[iou <= iou_thr]
+    return keep
+
+
+class YoloTinyDetector:
+    """In-repo neural person detector: Flax YOLOv3-tiny on the accelerator.
+
+    TPU-native replacement for the reference's downloaded YOLOv3
+    (/root/reference/demo.py:89-97): frames are letterboxed to a static
+    square input on host, the network runs as one jitted batch program
+    (gaitlab.nn.yolo), and person-class filtering + NMS run on host.
+    Weights: any standard public `yolov3-tiny.weights` darknet file
+    (gaitlab.nn.yolo.load_darknet_weights).
+    """
+
+    def __init__(self, weights_path: Optional[str] = None,
+                 input_size: int = 416, score_threshold: float = 0.4,
+                 nms_threshold: float = 0.45, batch: int = 12,
+                 seed: int = 0):
+        import jax
+        import jax.numpy as jnp
+
+        from gaitlab.nn import yolo
+
+        self.module = yolo.YoloV3Tiny()
+        self.input_size = int(input_size)
+        self.score_threshold = float(score_threshold)
+        self.nms_threshold = float(nms_threshold)
+        self.batch = int(batch)  # reference tracker_batch_size=12
+        variables = self.module.init(
+            jax.random.PRNGKey(seed),
+            jnp.zeros((1, self.input_size, self.input_size, 3), jnp.float32))
+        if weights_path:
+            variables = yolo.load_darknet_weights(weights_path, variables)
+        self.variables = variables
+        self._fwd = jax.jit(
+            lambda v, im: yolo.detect(self.module, v, im))
+
+    def _letterbox(self, frames: np.ndarray):
+        """uint8 RGB (N,H,W,3) -> f32 (N,S,S,3) in [0,1] + (scale, pad)."""
+        import cv2
+
+        n, h, w = frames.shape[:3]
+        s = self.input_size
+        scale = min(s / h, s / w)
+        nh, nw = int(round(h * scale)), int(round(w * scale))
+        top, left = (s - nh) // 2, (s - nw) // 2
+        out = np.full((n, s, s, 3), 0.5, np.float32)
+        for i in range(n):
+            r = cv2.resize(frames[i], (nw, nh), interpolation=cv2.INTER_LINEAR)
+            out[i, top : top + nh, left : left + nw] = r / 255.0
+        return out, scale, (left, top)
+
+    def __call__(self, frames: np.ndarray) -> List[np.ndarray]:
+        frames = np.asarray(frames)
+        preds = []
+        for s0 in range(0, len(frames), self.batch):
+            chunk = frames[s0 : s0 + self.batch]
+            if len(chunk) < self.batch:  # pad to the static batch size
+                pad = np.repeat(chunk[-1:], self.batch - len(chunk), axis=0)
+                padded = np.concatenate([chunk, pad], axis=0)
+            else:
+                padded = chunk
+            boxed, scale, (left, top) = self._letterbox(padded)
+            raw = np.asarray(self._fwd(self.variables, boxed))
+            preds.extend(raw[: len(chunk)])
+
+        out = []
+        for p in preds:
+            conf = p[:, 4] * p[:, 5 + 0]  # objectness * person score
+            sel = conf >= self.score_threshold
+            if not np.any(sel):
+                out.append(np.zeros((0, 5), np.float32))
+                continue
+            p, conf = p[sel], conf[sel]
+            # letterbox -> original image coordinates
+            cx = (p[:, 0] - left) / scale
+            cy = (p[:, 1] - top) / scale
+            bw, bh = p[:, 2] / scale, p[:, 3] / scale
+            boxes = np.stack([cx - bw / 2, cy - bh / 2,
+                              cx + bw / 2, cy + bh / 2], axis=1)
+            keep = _nms(boxes, conf, self.nms_threshold)
+            out.append(np.concatenate(
+                [boxes[keep], conf[keep, None]], axis=1).astype(np.float32))
+        return out
+
+
 class DnnPersonDetector:
     """Neural person detector over cv2.dnn for user-supplied weights.
 
@@ -129,16 +235,32 @@ class DnnPersonDetector:
 def get_detector(name: str = "median_bg", **kw) -> "Detector":
     """Detector factory for the CLI --detector flag.
 
-    'yolo' uses DnnPersonDetector when GAITLAB_DETECTOR_MODEL points to a
-    weights file, else falls back to the offline median-background
-    detector (this environment cannot download YOLO weights)."""
+    'yolo' runs the in-repo Flax YOLOv3-tiny when weights are available —
+    $GAITLAB_YOLO_WEIGHTS, or `yolov3-tiny.weights` under the asset dir
+    (gaitlab.pipeline.fetch) — else DnnPersonDetector for a user-supplied
+    $GAITLAB_DETECTOR_MODEL (.onnx etc.), else falls back to the offline
+    median-background detector (this environment cannot download YOLO
+    weights)."""
     import os
 
     if name == "yolo":
+        weights = os.environ.get("GAITLAB_YOLO_WEIGHTS")
+        if not weights:
+            from gaitlab.pipeline import fetch
+
+            try:
+                weights = fetch.resolve_asset("yolov3-tiny.weights")
+            except FileNotFoundError:
+                weights = None
+        if weights:
+            return YoloTinyDetector(weights_path=weights, **kw)
         model = os.environ.get("GAITLAB_DETECTOR_MODEL")
         if model:
             return DnnPersonDetector(
                 model, os.environ.get("GAITLAB_DETECTOR_CONFIG"), **kw)
+        print("WARNING: no YOLO weights found (set $GAITLAB_YOLO_WEIGHTS "
+              "or place yolov3-tiny.weights in the asset dir); using the "
+              "median-background detector.")
         return MedianBackgroundDetector()
     if name == "median_bg":
         return MedianBackgroundDetector(**kw)

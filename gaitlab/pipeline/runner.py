@@ -139,10 +139,22 @@ class GRNetRunner:
         bucket, runs the cached jitted forward per bucket size. bbox/cimg
         (N,4)/(N,2) feed the gait branch when the model has one.
         """
-        n = crops.shape[0]
+        return self._forward_stream(iter([crops]), bbox=bbox, cimg=cimg)
+
+    def _forward_stream(self, crop_chunks, bbox=None, cimg=None) -> dict:
+        """Streaming core: device crop chunks -> bucketed jitted forwards.
+
+        Forwards are *dispatched* as soon as a full bucket of crops has
+        accumulated and all outputs stay on device until the stream ends —
+        host decode, device compute, and D2H readback pipeline instead of
+        serializing (VERDICT r1 next-step #1: the old path materialised
+        every crop before the first forward and fetched outputs per
+        bucket, stalling the device on each readback).
+        """
+        gait = self.model.module.use_gait_feat
         max_b = self.buckets[-1]
-        outs: list[dict] = []
-        start = 0
+        variables = self._trunk_variables()
+        smpl = self.model.smpl
 
         def pad_to(arr, m, b):
             if arr is None or m == b:
@@ -150,47 +162,63 @@ class GRNetRunner:
             rep = jnp.broadcast_to(arr[-1:], (b - m,) + tuple(arr.shape[1:]))
             return jnp.concatenate([arr, rep], axis=0)
 
+        outs: list[dict] = []
         lengths: list[int] = []
-        gait = self.model.module.use_gait_feat
-        while start < n:
-            m = min(max_b, n - start)
+
+        def dispatch(piece, m, start):
             b = self._bucket(m)
-            piece = pad_to(crops[start : start + m], m, b)
+            piece = pad_to(piece, m, b)
             bb = pad_to(jnp.asarray(bbox[start : start + m], jnp.float32)
                         if bbox is not None else None, m, b)
             ci = pad_to(jnp.asarray(cimg[start : start + m], jnp.float32)
                         if cimg is not None else None, m, b)
             nv = jnp.asarray(m, jnp.int32) if gait else None
-            out = self._forward(b)(self._trunk_variables(), self.model.smpl,
-                                   piece, bb, ci, nv)
-            outs.append({k: np.asarray(v[:m]) if k != "pred_avg"
-                         else np.asarray(v) for k, v in out.items()})
+            outs.append(self._forward(b)(variables, smpl, piece, bb, ci, nv))
             lengths.append(m)
-            start += m
+
+        buf: list = []
+        buffered = 0
+        start = 0
+        for chunk in crop_chunks:
+            buf.append(chunk)
+            buffered += chunk.shape[0]
+            while buffered >= max_b:
+                cat = buf[0] if len(buf) == 1 else jnp.concatenate(buf, 0)
+                dispatch(cat[:max_b], max_b, start)
+                start += max_b
+                buffered -= max_b
+                buf = [cat[max_b:]] if buffered else []
+        if buffered:
+            cat = buf[0] if len(buf) == 1 else jnp.concatenate(buf, 0)
+            dispatch(cat, buffered, start)
+
+        # single readback pass after the full pipeline is queued
+        fetched = [{k: (np.asarray(v[:m]) if k != "pred_avg"
+                        else np.asarray(v)) for k, v in out.items()}
+                   for out, m in zip(outs, lengths)]
         merged = {}
-        for k in outs[0]:
+        for k in fetched[0]:
             if k == "pred_avg":
                 # per-chunk track-level estimate: average, weighted by how
                 # many real frames each chunk holds (the tail chunk may be
                 # mostly padding)
-                merged[k] = np.average([o[k][0] for o in outs], axis=0,
+                merged[k] = np.average([o[k][0] for o in fetched], axis=0,
                                        weights=lengths)
             else:
-                merged[k] = np.concatenate([o[k] for o in outs], axis=0)
+                merged[k] = np.concatenate([o[k] for o in fetched], axis=0)
         return merged
 
     # -- full track ----------------------------------------------------------
 
-    def crop_track(self, frames_or_paths, bboxes: np.ndarray,
-                   scale: Optional[float] = None) -> jnp.ndarray:
-        """Frames + per-frame square bboxes -> normalized crops on device.
+    def _crop_stream(self, frames_or_paths, bboxes: np.ndarray,
+                     scale: Optional[float] = None):
+        """Yield device crop chunks for a track (decode -> device warp).
 
         Path input streams through the native prefetch loader
         (gaitlab.pipeline.loader): chunk i+1 decodes on a worker thread
         while chunk i's crop kernel runs on device.
         """
         scale = self.bbox_scale if scale is None else scale
-        crops = []
         n = len(bboxes)
         if isinstance(frames_or_paths, np.ndarray):
             chunks = (frames_or_paths[s : s + self.ingest_chunk]
@@ -203,11 +231,16 @@ class GRNetRunner:
         s = 0
         for chunk in chunks:
             e = s + len(chunk)
-            crops.append(crop_mod.crop_and_normalize(
-                chunk, bboxes[s:e], scale=scale, crop_size=self.crop_size))
+            yield crop_mod.crop_and_normalize(
+                chunk, bboxes[s:e], scale=scale, crop_size=self.crop_size)
             s = e
         assert s == n, (s, n)
-        return jnp.concatenate(crops, axis=0)
+
+    def crop_track(self, frames_or_paths, bboxes: np.ndarray,
+                   scale: Optional[float] = None) -> jnp.ndarray:
+        """Frames + per-frame square bboxes -> normalized crops on device."""
+        return jnp.concatenate(
+            list(self._crop_stream(frames_or_paths, bboxes, scale)), axis=0)
 
     def run_track(self, frames_or_paths, bboxes: np.ndarray,
                   scale: Optional[float] = None) -> dict:
@@ -217,7 +250,6 @@ class GRNetRunner:
         'betas' (N,10), 'joints3d' (N,J,3), 'joints2d' (N,J,2) normalized
         crop coords}.
         """
-        crops = self.crop_track(frames_or_paths, bboxes, scale)
         bb = ci = None
         if self.model.module.use_gait_feat:
             # gait branch needs image-frame camera context: bbox + image
@@ -230,7 +262,9 @@ class GRNetRunner:
                 h, w = image_size(frames_or_paths[0])
             bb = np.asarray(bboxes, np.float32)
             ci = np.full((len(bb), 2), [w * 0.5, h * 0.5], np.float32)
-        out = self.forward_crops(crops, bbox=bb, cimg=ci)
+        out = self._forward_stream(
+            self._crop_stream(frames_or_paths, bboxes, scale),
+            bbox=bb, cimg=ci)
         result = {
             "pred_cam": out["theta"][:, :3],
             "verts": out["verts"],

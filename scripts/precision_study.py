@@ -1,0 +1,230 @@
+"""Per-stage matmul-precision sensitivity study on the real TPU.
+
+VERDICT r1 next-step #2: the f32 parity path (matmul precision HIGHEST =
+six bf16 passes on TPU) costs ~80% of the machine; find the cheapest
+precision assignment that stays inside the 0.5 mm MPJPE budget vs the
+PyTorch reference, and report MPJPE for EVERY speed mode so no throughput
+number ships without an error bar.
+
+Oracle: the reference torch GRNet (/root/reference/lib/models/grnet.py)
+built with random weights via tests/refutil, imported into gaitlab with the
+standard checkpoint translation — the same harness as
+tests/test_models_parity.py, run here against the real TPU instead of the
+CPU backend. Random weights are the *pathological* regime for bf16 error
+compounding (no trained-weight smoothness), so the numbers below are
+upper bounds.
+
+Throughput uses the device-side dependency-chain discipline (bench.py):
+through the axon tunnel `block_until_ready` returns before the device
+finishes, so iteration i+1 must consume a scalar from iteration i.
+
+Writes docs/PRECISION.json and prints a markdown table for BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import json
+import os
+import os.path as osp
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, osp.join(osp.dirname(__file__), "..", "tests"))
+sys.path.insert(0, osp.join(osp.dirname(__file__), ".."))
+
+BATCH = 128
+ITERS = 8
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def build_oracle(tmpdir: str):
+    """Reference torch GRNet (random weights) + matching gaitlab model."""
+    import torch
+
+    import refutil
+    from gaitlab.body import smpl as gsmpl
+    from gaitlab.nn.grnet import GRNet
+    from gaitlab.weights import torch_import as ti
+
+    refutil.setup_ref_data_dir(tmpdir, seed=0)
+    os.chdir(tmpdir)
+    refutil.import_ref_lib()
+    torch.manual_seed(0)
+    from lib.models.hrnet import hrnet_w32 as ref_hrnet_w32
+    from lib.models.pare import PareHead as RefPareHead
+
+    hrnet = ref_hrnet_w32(pretrained=False, pretrained_ckpt="",
+                          use_conv=True, downsample=False)
+    torch.save(hrnet.state_dict(), "data/grnet_data/hrnet_w32.pth.tar")
+    head = RefPareHead(num_joints=24, num_input_features=480,
+                       num_features_pare=128, num_features_smpl=64)
+    torch.save({"state_dict": {f"model.head.{k}": v
+                               for k, v in head.state_dict().items()}},
+               "data/grnet_data/pare_w_3dpw_checkpoint.ckpt")
+
+    from lib.models.grnet import GRNet as RefGRNet
+
+    RefGRNet.is_demo = True
+    ref = RefGRNet(writer=None, seqlen=8)
+    ref.eval()
+
+    smpl_params = gsmpl.load_smpl_params("data/smpl_data/SMPL_NEUTRAL.pkl")
+    smpl_params = gsmpl.with_extra_regressor(
+        smpl_params, "data/smpl_data/J_regressor_extra.npy")
+    ours = GRNet.create(smpl_params=smpl_params)
+    variables, missing, _ = ti.import_grnet_ckpt(
+        ref.state_dict(), ours.variables, strict=False)
+    assert not missing, missing[:5]
+    ours.variables = variables
+    return ref, ours
+
+
+def torch_reference_outputs(ref, images_nchw: np.ndarray) -> dict:
+    import torch
+
+    outs = []
+    with torch.no_grad():
+        for s in range(0, len(images_nchw), 16):
+            out = ref(torch.tensor(images_nchw[s : s + 16]))[-1]
+            outs.append({k: v.numpy()[0] for k, v in out.items()
+                         if k in ("kp_3d", "verts", "theta")})
+    return {k: np.concatenate([o[k] for o in outs]) for k in outs[0]}
+
+
+def make_forward(model, mode: str):
+    """One jitted crop->outputs forward for a named precision mode."""
+    import jax
+    import jax.numpy as jnp
+
+    from gaitlab.nn.grnet import vp_regress
+
+    module, smpl = model.module, model.smpl
+
+    def prec(p):
+        return (jax.default_matmul_precision(p) if p != "default"
+                else contextlib.nullcontext())
+
+    trunk_16 = mode.startswith("bf16trunk")
+    if mode in ("default", "high", "float32"):
+        bb_p = hd_p = sm_p = mode
+    elif mode == "bf16trunk":
+        bb_p = hd_p = "default"
+        sm_p = "float32"
+    elif mode == "bf16trunk+high":
+        bb_p = hd_p = "high"
+        sm_p = "float32"
+    elif mode == "backbone_high+rest_f32":
+        bb_p, hd_p, sm_p = "high", "float32", "float32"
+    elif mode == "backbone_default+rest_f32":
+        bb_p, hd_p, sm_p = "default", "float32", "float32"
+    else:
+        raise ValueError(mode)
+
+    def fwd(variables, smpl, images, bias):
+        x = images + bias
+        if trunk_16:
+            variables = jax.tree_util.tree_map(
+                lambda v: (v.astype(jnp.bfloat16)
+                           if jnp.issubdtype(v.dtype, jnp.floating) else v),
+                variables)
+            x = x.astype(jnp.bfloat16)
+        with prec(bb_p):
+            feats = module.apply(variables, x, train=False,
+                                 method=lambda m, im, train: m.backbone(
+                                     im, train=train))
+            feats = jax.lax.stop_gradient(feats)
+        with prec(hd_p):
+            patt = module.apply(variables, feats,
+                                method=lambda m, f: m.head(f))
+        patt = {k: (v.astype(jnp.float32) if hasattr(v, "astype") else v)
+                for k, v in patt.items()}
+        with prec(sm_p):
+            out = vp_regress(smpl, patt, batch_size=1, joint_mode="spin2")[0]
+        return {k: out[k] for k in ("kp_3d", "verts", "theta")}
+
+    return jax.jit(fwd)
+
+
+def main():
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    dev = jax.devices()[0]
+    log(f"device: {dev.platform} {dev.device_kind}")
+
+    repo = osp.dirname(osp.dirname(osp.abspath(__file__)))
+    tmpdir = tempfile.mkdtemp(prefix="precstudy")
+    ref, model = build_oracle(tmpdir)
+
+    rng = np.random.default_rng(11)
+    images = rng.normal(size=(BATCH, 3, 224, 224)).astype(np.float32)
+    log("computing torch reference outputs (CPU, f32)...")
+    ref_out = torch_reference_outputs(ref, images)
+
+    nhwc = np.transpose(images, (0, 2, 3, 1))
+    variables, smpl = jax.device_put((model.variables, model.smpl), dev)
+    x = jax.device_put(jnp.asarray(nhwc), dev)
+
+    modes = ["float32", "high", "backbone_high+rest_f32",
+             "backbone_default+rest_f32", "default", "bf16trunk",
+             "bf16trunk+high"]
+    results = []
+    for mode in modes:
+        fwd = make_forward(model, mode)
+        t0 = time.perf_counter()
+        out = fwd(variables, smpl, x, jnp.zeros(()))
+        kp3d = np.asarray(out["kp_3d"][0], np.float32)
+        verts = np.asarray(out["verts"][0], np.float32)
+        log(f"[{mode}] compile+run {time.perf_counter() - t0:.1f}s")
+
+        mpjpe = float(np.linalg.norm(
+            kp3d - ref_out["kp_3d"], axis=-1).mean() * 1000.0)
+        pve = float(np.linalg.norm(
+            verts - ref_out["verts"], axis=-1).mean() * 1000.0)
+
+        # throughput: chained iterations, one host sync at the end
+        def chain(n):
+            bias = jnp.zeros(())
+            t0 = time.perf_counter()
+            for _ in range(n):
+                o = fwd(variables, smpl, x, bias)
+                bias = o["theta"][0, 0, 0] * 1e-9
+            float(bias)
+            return time.perf_counter() - t0
+
+        chain(2)  # warm
+        dt = chain(ITERS)
+        fps = BATCH * ITERS / dt
+        log(f"[{mode}] MPJPE {mpjpe:.4f} mm  PVE {pve:.4f} mm  "
+            f"{dt / ITERS * 1e3:.1f} ms/iter  {fps:.0f} fps")
+        results.append({"mode": mode, "mpjpe_mm": round(mpjpe, 4),
+                        "pve_mm": round(pve, 4),
+                        "ms_per_iter": round(dt / ITERS * 1e3, 2),
+                        "fps_per_chip": round(fps, 1),
+                        "within_0.5mm": mpjpe <= 0.5})
+
+    out_path = osp.join(repo, "docs", "PRECISION.json")
+    with open(out_path, "w") as f:
+        json.dump({"batch": BATCH, "device": str(dev.device_kind),
+                   "oracle": "torch reference, random weights (worst case)",
+                   "results": results}, f, indent=2)
+    log(f"wrote {out_path}")
+
+    print("| mode | MPJPE (mm) | PVE (mm) | ms/iter (b128) | fps/chip | <=0.5mm |")
+    print("|---|---|---|---|---|---|")
+    for r in results:
+        print(f"| {r['mode']} | {r['mpjpe_mm']} | {r['pve_mm']} | "
+              f"{r['ms_per_iter']} | {r['fps_per_chip']} | "
+              f"{'yes' if r['within_0.5mm'] else 'no'} |")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,160 @@
+"""In-repo Flax YOLOv3-tiny detector: darknet weight layout, decode math,
+and the neural end-to-end --detector yolo path (VERDICT r1 next-step #3;
+reference front-end: /root/reference/demo.py:89-97)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+@pytest.fixture(scope="module")
+def module_and_vars():
+    from gaitlab.nn import yolo
+
+    module = yolo.YoloV3Tiny()
+    variables = module.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, 416, 416, 3), jnp.float32))
+    return module, variables
+
+
+def test_output_shapes(module_and_vars):
+    from gaitlab.nn import yolo
+
+    module, variables = module_and_vars
+    x = jnp.zeros((2, 416, 416, 3), jnp.float32)
+    y1, y2 = module.apply(variables, x)
+    assert y1.shape == (2, 13, 13, 255)
+    assert y2.shape == (2, 26, 26, 255)
+    d = yolo.detect(module, variables, x)
+    assert d.shape == (2, (13 * 13 + 26 * 26) * 3, 85)
+
+
+def test_darknet_weights_roundtrip(tmp_path, module_and_vars, rng):
+    """save -> load reproduces every parameter bit-exactly, validating the
+    (out,in,kh,kw) <-> (kh,kw,in,out) transposes and the
+    beta/gamma/mean/var ordering of the public darknet format."""
+    from gaitlab.nn import yolo
+
+    module, variables = module_and_vars
+    noised = jax.tree_util.tree_map(
+        lambda v: jnp.asarray(rng.normal(size=v.shape), v.dtype), variables)
+    path = str(tmp_path / "yolov3-tiny.weights")
+    yolo.save_darknet_weights(path, noised)
+
+    loaded = yolo.load_darknet_weights(path, variables)
+    flat_a = jax.tree_util.tree_leaves_with_path(noised)
+    flat_b = dict(jax.tree_util.tree_leaves_with_path(loaded))
+    for path_k, leaf in flat_a:
+        np.testing.assert_array_equal(np.asarray(leaf),
+                                      np.asarray(flat_b[path_k]),
+                                      err_msg=str(path_k))
+
+
+def test_darknet_header_and_length_check(tmp_path, module_and_vars):
+    from gaitlab.nn import yolo
+
+    module, variables = module_and_vars
+    path = str(tmp_path / "w.weights")
+    yolo.save_darknet_weights(path, variables)
+    data = open(path, "rb").read()
+    assert np.frombuffer(data[:12], np.int32).tolist() == [0, 2, 0]
+    with pytest.raises(ValueError):
+        yolo.load_darknet_weights(data[:-64], variables)  # truncated
+
+
+def _constant_head_variables(variables, tx=0.0, tw=0.0, obj=3.0, cls0=3.0):
+    """Zero all conv kernels (identity BN) and set head biases so every
+    grid cell predicts the same box logits — makes the decode chain
+    predictable in closed form through the *whole* network."""
+    import flax
+
+    p = flax.core.unfreeze(jax.tree_util.tree_map(np.asarray, variables))
+    for name, scope in p["params"].items():
+        if "conv" in scope:  # ConvBN
+            scope["conv"]["kernel"] = np.zeros_like(scope["conv"]["kernel"])
+            scope["bn"]["bias"] = np.zeros_like(scope["bn"]["bias"])
+            scope["bn"]["scale"] = np.ones_like(scope["bn"]["scale"])
+        else:  # detection head
+            scope["kernel"] = np.zeros_like(scope["kernel"])
+            bias = np.full((3, 85), -10.0, np.float32)
+            bias[:, 0] = bias[:, 1] = tx
+            bias[:, 2] = bias[:, 3] = tw
+            bias[:, 4] = obj
+            bias[:, 5] = cls0
+            scope["bias"] = bias.reshape(-1)
+    for name, scope in p["batch_stats"].items():
+        scope["bn"]["mean"] = np.zeros_like(scope["bn"]["mean"])
+        scope["bn"]["var"] = np.ones_like(scope["bn"]["var"])
+    return p
+
+
+def test_decode_closed_form(module_and_vars):
+    """With zeroed kernels and crafted head biases, the decoded boxes must
+    be exactly (grid+0.5)*stride centers with anchor-sized boxes and
+    sigmoid'd scores — validates the darknet yolo-layer decode."""
+    from gaitlab.nn import yolo
+
+    module, variables = module_and_vars
+    p = _constant_head_variables(variables)
+    x = jnp.zeros((1, 416, 416, 3), jnp.float32)
+    d = np.asarray(yolo.detect(module, p, x))[0]
+
+    # first 13*13*3 rows are the coarse head (stride 32)
+    row = d[0]
+    assert np.isclose(row[0], 0.5 * 32) and np.isclose(row[1], 0.5 * 32)
+    np.testing.assert_allclose(row[2:4], yolo.ANCHORS_COARSE[0], rtol=1e-6)
+    sig3 = 1.0 / (1.0 + np.exp(-3.0))
+    assert np.isclose(row[4], sig3, atol=1e-6)       # objectness
+    assert np.isclose(row[5], sig3, atol=1e-6)       # person class
+    assert row[6] < 1e-4                             # other classes off
+    # a fine-head row: stride 16, fine anchors
+    fine = d[13 * 13 * 3]
+    assert np.isclose(fine[0], 0.5 * 16) and np.isclose(fine[1], 0.5 * 16)
+    np.testing.assert_allclose(fine[2:4], yolo.ANCHORS_FINE[0], rtol=1e-6)
+
+
+def test_yolo_detector_end_to_end(tmp_path, monkeypatch, module_and_vars):
+    """--detector yolo runs the Flax net end-to-end with converted
+    weights: factory resolves the darknet file, the detector returns
+    person boxes in original-image coordinates, NMS'd, and SORT consumes
+    them."""
+    from gaitlab.nn import yolo
+    from gaitlab.pipeline import detect, tracks
+
+    module, variables = module_and_vars
+    p = _constant_head_variables(variables)
+    path = str(tmp_path / "yolov3-tiny.weights")
+    yolo.save_darknet_weights(path, p)
+
+    monkeypatch.setenv("GAITLAB_YOLO_WEIGHTS", path)
+    det = detect.get_detector("yolo", batch=4)
+    assert isinstance(det, detect.YoloTinyDetector)
+
+    frames = np.zeros((6, 240, 320, 3), np.uint8)  # non-square: letterbox
+    dets = det(frames)
+    assert len(dets) == 6
+    for d in dets:
+        assert d.ndim == 2 and d.shape[1] == 5
+        assert len(d) > 0  # crafted weights fire everywhere, NMS prunes
+        x1, y1, x2, y2, score = d[0]
+        assert x2 > x1 and y2 > y1
+        assert 0.9 < score <= 1.0
+        # centers must map back into the original image frame
+        cx, cy = (x1 + x2) / 2, (y1 + y2) / 2
+        assert -160 < cx < 480 and -120 < cy < 360
+
+    result = tracks.track_video(dets)
+    assert result  # SORT consumed the neural detections into tracks
+
+
+def test_yolo_detector_random_weights_wellformed(module_and_vars):
+    """Random weights: detections are well-formed (possibly empty)."""
+    from gaitlab.pipeline.detect import YoloTinyDetector
+
+    det = YoloTinyDetector(batch=2, score_threshold=0.99)
+    out = det(np.zeros((3, 64, 96, 3), np.uint8))
+    assert len(out) == 3
+    for d in out:
+        assert d.shape[1:] == (5,)
