@@ -74,15 +74,20 @@ def denormalize_image(norm_img: np.ndarray) -> np.ndarray:
 
 def visualize_preds(image: np.ndarray, pred_kp2d: np.ndarray,
                     target_kp2d: Optional[np.ndarray] = None,
-                    fmt: str = "spin2", crop_size: int = 224) -> np.ndarray:
-    """Pred-vs-target keypoint panel (reference visualize_preds,
-    vis.py:221-286 role): normalized crop + [-1,1] keypoints -> side-by-side
-    uint8 panel with skeletons drawn."""
+                    fmt: str = "spin2", crop_size: int = 224,
+                    pred_verts: Optional[np.ndarray] = None,
+                    cam: Optional[np.ndarray] = None,
+                    faces: Optional[np.ndarray] = None) -> np.ndarray:
+    """Pred-vs-target panel (reference visualize_preds, vis.py:221-286):
+    [image | pred skeleton | (target skeleton) | (render) | (render_side)]
+    as one horizontal uint8 strip. The two mesh panels appear when
+    pred_verts + cam + faces are given, mirroring the reference's
+    render/render_side columns (vis.py:264-280)."""
     from gaitlab.pipeline.crop import normalize_2d_kp
 
     base = (denormalize_image(image) if image.dtype != np.uint8
             else image.copy())
-    panels = []
+    panels = [base.copy()]
     pred_px = normalize_2d_kp(np.asarray(pred_kp2d)[:, :2], crop_size,
                               inv=True)
     p = base.copy()
@@ -94,20 +99,87 @@ def visualize_preds(image: np.ndarray, pred_kp2d: np.ndarray,
                                  inv=True)
         draw_2d_skeleton(t, tgt_px, fmt=fmt, color=(0, 0, 255))
         panels.append(t)
+    if pred_verts is not None and cam is not None and faces is not None:
+        from gaitlab.render import raster
+
+        cam = np.asarray(cam, np.float64).reshape(-1)
+        if cam.shape[0] == 3:  # crop weak-perspective (s,tx,ty) -> orig_cam
+            cam = np.array([cam[0], cam[0], cam[1], cam[2]])
+        panels.append(raster.render_mesh(base.copy(), pred_verts, cam, faces))
+        side = raster.render_mesh(np.zeros_like(base), pred_verts, cam,
+                                  faces, angle=90, axis=[0, 1, 0])
+        panels.append(side)
     return np.concatenate(panels, axis=1)
 
 
 def visualize_batch_preds(images: np.ndarray, pred_kp2d: np.ndarray,
                           target_kp2d: Optional[np.ndarray] = None,
-                          fmt: str = "spin2", max_items: int = 4) -> np.ndarray:
-    """Batch/video variant (reference vis.py:288-358 role): stack per-frame
-    panels vertically."""
+                          fmt: str = "spin2", max_items: int = 4,
+                          pred_verts: Optional[np.ndarray] = None,
+                          cam: Optional[np.ndarray] = None,
+                          faces: Optional[np.ndarray] = None) -> np.ndarray:
+    """Batch variant (reference batch_visualize_preds, vis.py:288-326):
+    stack per-frame panels vertically."""
     rows = []
     n = min(len(images), max_items)
     for i in range(n):
         tgt = target_kp2d[i] if target_kp2d is not None else None
-        rows.append(visualize_preds(images[i], pred_kp2d[i], tgt, fmt=fmt))
+        pv = pred_verts[i] if pred_verts is not None else None
+        cm = cam[i] if cam is not None else None
+        rows.append(visualize_preds(images[i], pred_kp2d[i], tgt, fmt=fmt,
+                                    pred_verts=pv, cam=cm, faces=faces))
     return np.concatenate(rows, axis=0)
+
+
+def visualize_batch_vid_preds(video: np.ndarray, preds: dict,
+                              target: Optional[dict] = None,
+                              max_video: int = 4, fmt: str = "spin2",
+                              faces: Optional[np.ndarray] = None) -> np.ndarray:
+    """Video-batch panel variant (reference batch_visualize_vid_preds,
+    vis.py:359-409): (N,T,H,W,3) videos + per-frame pred dicts ->
+    (N,T,H',W',3) uint8 panel videos.
+
+    preds/target: {'kp_2d': (N,T,J,2[+conf]), optional 'verts': (N,T,V,3),
+    'theta': (N,T,85)} — the vp_regress output layout. NHWC throughout
+    (the reference round-trips NTCHW for torch; irrelevant here).
+    """
+    video = np.asarray(video)[:max_video]
+    n, t = video.shape[:2]
+    kp = np.asarray(preds["kp_2d"])[:max_video]
+    verts = (np.asarray(preds["verts"])[:max_video]
+             if "verts" in preds and faces is not None else None)
+    cams = (np.asarray(preds["theta"])[:max_video, :, :3]
+            if "theta" in preds else None)
+    tgt_kp = (np.asarray(target["kp_2d"])[:max_video]
+              if target is not None else None)
+
+    out = []
+    for b in range(n):
+        frames = []
+        for i in range(t):
+            frames.append(visualize_preds(
+                video[b, i], kp[b, i],
+                tgt_kp[b, i] if tgt_kp is not None else None, fmt=fmt,
+                pred_verts=verts[b, i] if verts is not None else None,
+                cam=cams[b, i] if (cams is not None and verts is not None)
+                else None,
+                faces=faces))
+        out.append(np.stack(frames))
+    return np.stack(out)
+
+
+def write_panel_video(panel_video: np.ndarray, path: str,
+                      fps: float = 20.0) -> str:
+    """(T,H,W,3) uint8 RGB panel frames -> mp4 on disk."""
+    import cv2
+
+    t, h, w = panel_video.shape[:3]
+    writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), fps,
+                             (w, h))
+    for i in range(t):
+        writer.write(cv2.cvtColor(panel_video[i], cv2.COLOR_RGB2BGR))
+    writer.release()
+    return path
 
 
 def body_orientation_rotmat(joints3d_frame: np.ndarray) -> np.ndarray:

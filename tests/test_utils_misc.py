@@ -98,15 +98,55 @@ def test_vis_panels(rng):
 
     img = rng.normal(size=(224, 224, 3)).astype(np.float32)
     kp = rng.uniform(-1, 1, (29, 2)).astype(np.float32)
+    # reference column layout (vis.py:221-286): [image | pred | target]
     panel = vis.visualize_preds(img, kp, kp * 0.9)
-    assert panel.shape == (224, 448, 3) and panel.dtype == np.uint8
+    assert panel.shape == (224, 672, 3) and panel.dtype == np.uint8
     batch = vis.visualize_batch_preds(
         np.stack([img] * 3), np.stack([kp] * 3), np.stack([kp] * 3),
         max_items=2)
-    assert batch.shape == (448, 448, 3)
+    assert batch.shape == (448, 672, 3)
 
     u8 = vis.denormalize_image(np.zeros((8, 8, 3), np.float32))
     assert u8.dtype == np.uint8
+
+
+def test_vis_panels_with_mesh_columns(rng):
+    """Full reference layout incl. render + render_side columns
+    (vis.py:264-286) when verts/cam/faces are given."""
+    from gaitlab.render import vis
+
+    img = rng.normal(size=(64, 64, 3)).astype(np.float32)
+    kp = rng.uniform(-1, 1, (29, 2)).astype(np.float32)
+    verts = rng.normal(size=(12, 3)).astype(np.float32) * 0.1
+    faces = np.array([[0, 1, 2], [3, 4, 5], [6, 7, 8]], np.int32)
+    cam = np.array([1.0, 0.0, 0.0], np.float32)
+    panel = vis.visualize_preds(img, kp, kp, crop_size=64,
+                                pred_verts=verts, cam=cam, faces=faces)
+    # image | pred | target | render | render_side = 5 columns
+    assert panel.shape == (64, 5 * 64, 3) and panel.dtype == np.uint8
+
+
+def test_vis_video_panels(tmp_path, rng):
+    """Video-batch panel variant (reference batch_visualize_vid_preds,
+    vis.py:359-409) + mp4 smoke write."""
+    from gaitlab.render import vis
+
+    n, t = 2, 3
+    video = rng.normal(size=(n, t, 64, 64, 3)).astype(np.float32)
+    preds = {
+        "kp_2d": rng.uniform(-1, 1, (n, t, 29, 2)).astype(np.float32),
+        "verts": rng.normal(size=(n, t, 12, 3)).astype(np.float32) * 0.1,
+        "theta": rng.normal(size=(n, t, 85)).astype(np.float32),
+    }
+    target = {"kp_2d": rng.uniform(-1, 1, (n, t, 29, 2)).astype(np.float32)}
+    faces = np.array([[0, 1, 2], [3, 4, 5]], np.int32)
+    out = vis.visualize_batch_vid_preds(video, preds, target,
+                                        max_video=2, faces=faces)
+    assert out.shape == (n, t, 64, 5 * 64, 3) and out.dtype == np.uint8
+
+    path = vis.write_panel_video(out[0], str(tmp_path / "panels.mp4"))
+    import os
+    assert os.path.getsize(path) > 0
 
 
 def test_render_image(rng):
