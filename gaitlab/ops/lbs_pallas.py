@@ -19,6 +19,7 @@ on the lane (last) dimension, padded to a multiple of 128.
 from __future__ import annotations
 
 from functools import partial
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -42,9 +43,14 @@ def blendshapes(
     posedirs: jax.Array,     # (P, V*3)  (smplx layout)
     betas: jax.Array,        # (B, S)
     pose_feature: jax.Array, # (B, P)
-    interpret: bool = False,
+    interpret: Optional[bool] = None,
 ) -> jax.Array:
-    """Fused v_template + shapedirs.beta + posedirs.pose -> (B, V, 3)."""
+    """Fused v_template + shapedirs.beta + posedirs.pose -> (B, V, 3).
+
+    interpret=None auto-selects interpret mode on the CPU backend (Pallas
+    only compiles natively for TPU)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
     v = v_template.shape[0]
     b = betas.shape[0]
     s = shapedirs.shape[-1]
