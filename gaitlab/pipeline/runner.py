@@ -40,10 +40,15 @@ class GRNetRunner:
     bbox_scale: float = 1.0  # reference demo.py:80 (bbox_scale = 1.0)
     ingest_chunk: int = 32   # full-res frames staged to device at once
     mesh: Optional[jax.sharding.Mesh] = None
-    # matmul precision: "float32" keeps TPU output parity with the f32
-    # reference (SURVEY.md §7 hard part #4 — default bf16 matmul noise
-    # compounds through ~100 conv layers); "default" is the fast bf16 path.
-    precision: str = "float32"
+    # matmul precision (jax.default_matmul_precision name). The default
+    # "high" (bf16_3x on TPU) is the accuracy-qualified production mode:
+    # 0.24 mm MPJPE vs the f32 torch reference in the worst-case
+    # random-weight regime at 1.8x the float32 throughput
+    # (scripts/precision_study.py, docs/PRECISION.json). "float32"
+    # (bf16_6x) is exact parity (0.002 mm); "default" single-pass bf16
+    # compounds ~14 mm through the ~100-conv stack and is NOT within the
+    # 0.5 mm budget (SURVEY.md §7 hard part #4).
+    precision: str = "high"
     # trunk compute dtype: "bfloat16" halves activation HBM traffic for the
     # conv trunk (params cast in-graph; SMPL + regression stay f32). Fast
     # mode — NOT the parity path.

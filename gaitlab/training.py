@@ -19,6 +19,7 @@ from typing import Any, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from gaitlab.body import smpl as body_smpl
@@ -163,6 +164,89 @@ def make_train_step(
         return TrainState(params, opt_state, state.step + 1), metrics
 
     return train_step
+
+
+def make_gait_train_step(
+    module,
+    optimizer: optax.GradientTransformation,
+    w_avg: float = 1.0,
+    w_phase: float = 1.0,
+    w_feat: float = 1.0,
+):
+    """Trainer for the gait branch (VERDICT r1 next-step #10: connect
+    gait_loss to a runnable training path).
+
+    module: gaitlab.nn.gait.FeatCorrector. batch: {"features" (B,T,J,C)
+    possibly corrupted pose features, "clean_features" (B,T,J,C) target
+    features, "cparams" (B,T,3), "gait_avg" (B,3), "gait_phase" (B,T,4)}.
+    Loss = gait supervision on the encoder heads + feature-reconstruction
+    on the corrected output, so the TS-attention correction itself is
+    trained, not just the GRU heads.
+    """
+
+    def loss_fn(params, batch):
+        corrected, pred_avg, pred_phase = module.apply(
+            params, batch["features"], batch["cparams"])
+        g_total, metrics = gait_loss(
+            pred_avg, pred_phase, batch["gait_avg"], batch["gait_phase"],
+            w_avg=w_avg, w_phase=w_phase)
+        l_feat = jnp.mean((corrected - batch["clean_features"]) ** 2)
+        total = g_total + w_feat * l_feat
+        metrics.update({"loss": total, "loss_feat": l_feat})
+        return total, metrics
+
+    def train_step(state: TrainState, batch: dict):
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch
+        )
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    return train_step
+
+
+def synthetic_gait_batch(b: int, t: int = 32, j: int = 24, c: int = 16,
+                         noise: float = 0.5, seed: int = 0) -> dict:
+    """Synthetic gait-labeled sequences for the gait-branch trainer.
+
+    A walking cycle is simulated as per-joint sinusoids riding a shared
+    gait phase; the labels are the generating parameters: walk speed (~
+    cycle frequency), two step params (amplitude, duty), and the per-frame
+    phase as two unit-circle pairs [cos th, sin th, cos th/2, sin th/2].
+    `features` carries added white noise — the corrector's target is the
+    clean signal.
+
+    The per-joint structure (offsets/gains) is a fixed property of the
+    synthetic "skeleton" (seeded independently of `seed`), while the gait
+    parameters vary per sequence — otherwise the features->phase mapping
+    changes per batch and the task is unlearnable.
+    """
+    rng = np.random.default_rng(seed)
+    freq = rng.uniform(0.05, 0.25, size=(b, 1))          # cycles/frame
+    amp = rng.uniform(0.5, 2.0, size=(b, 1))
+    duty = rng.uniform(0.3, 0.7, size=(b, 1))
+    phase0 = rng.uniform(0, 2 * np.pi, size=(b, 1))
+    theta = 2 * np.pi * freq * np.arange(t)[None, :] + phase0  # (B,T)
+
+    srng = np.random.default_rng(12345)  # skeleton structure: fixed
+    joint_off = srng.uniform(0, 2 * np.pi, size=(j, c))
+    joint_gain = srng.normal(size=(j, c)) * 0.5 + 1.0
+    clean = (amp[:, :, None, None] * joint_gain[None, None]
+             * np.sin(theta[:, :, None, None] + joint_off[None, None]))
+    feats = clean + noise * rng.normal(size=clean.shape)
+
+    cparams = np.stack([
+        np.ones((b, t)), 0.1 * np.cos(theta), 0.1 * np.sin(theta)], axis=-1)
+    gait_avg = np.concatenate(
+        [freq * 10.0, amp, duty], axis=1)                 # (B,3)
+    gait_phase = np.stack([np.cos(theta), np.sin(theta),
+                           np.cos(theta / 2), np.sin(theta / 2)], axis=-1)
+    f32 = lambda x: jnp.asarray(x, jnp.float32)
+    return {"features": f32(feats), "clean_features": f32(clean),
+            "cparams": f32(cparams), "gait_avg": f32(gait_avg),
+            "gait_phase": f32(gait_phase)}
 
 
 def synthetic_batch(n: int, img: int = 224, num_joints: int = 29,

@@ -1,0 +1,100 @@
+"""Gait branch is trainable end-to-end, not just forward-shaped
+(VERDICT r1 next-step #10): train the FeatCorrector on synthetic
+gait-labeled sequences and assert the gait estimates and the feature
+correction actually improve."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+@pytest.fixture(scope="module")
+def trained():
+    import optax
+
+    from gaitlab import training
+    from gaitlab.nn.gait import FeatCorrector
+
+    t, j, c = 32, 6, 8
+    module = FeatCorrector(num_joints=j, feat_dim=c, h_size=32, num_heads=2,
+                           stop_gaitfeat_grad=False)
+    batch0 = training.synthetic_gait_batch(4, t=t, j=j, c=c, seed=0)
+    params = module.init(jax.random.PRNGKey(0), batch0["features"],
+                         batch0["cparams"])
+    optimizer = optax.adam(3e-3)
+    state = training.create_train_state(params, optimizer)
+    step = jax.jit(training.make_gait_train_step(module, optimizer,
+                                                 w_feat=3.0))
+
+    first = None
+    for i in range(600):
+        batch = training.synthetic_gait_batch(8, t=t, j=j, c=c, seed=i)
+        state, metrics = step(state, batch)
+        if first is None:
+            first = {k: float(v) for k, v in metrics.items()}
+    last = {k: float(v) for k, v in metrics.items()}
+    return module, params, state, first, last, (t, j, c)
+
+
+def test_gait_training_loss_decreases(trained):
+    _, _, _, first, last, _ = trained
+    assert np.isfinite(last["loss"])
+    assert last["loss"] < 0.5 * first["loss"], (first, last)
+
+
+def test_trained_phase_beats_untrained(trained):
+    from gaitlab import training
+
+    module, params0, state, _, _, (t, j, c) = trained
+    batch = training.synthetic_gait_batch(8, t=t, j=j, c=c, seed=999)
+
+    def phase_err(p):
+        _, _, pred_phase = module.apply(p, batch["features"],
+                                        batch["cparams"])
+        nrm = lambda v: v / (np.linalg.norm(v, axis=-1, keepdims=True)
+                             + 1e-9)
+        pp, gp = np.asarray(pred_phase), np.asarray(batch["gait_phase"])
+        cos1 = (nrm(pp[..., :2]) * nrm(gp[..., :2])).sum(-1)
+        cos2 = (nrm(pp[..., 2:]) * nrm(gp[..., 2:])).sum(-1)
+        return 1.0 - float(np.mean((cos1 + cos2) / 2))
+
+    err_untrained = phase_err(params0)
+    err_trained = phase_err(state.params)
+    # untrained phase is uncorrelated (err ~1); trained must be far better
+    assert err_trained < 0.5 * err_untrained, (err_untrained, err_trained)
+    assert err_trained < 0.3, err_trained
+
+
+def test_trained_speed_beats_untrained(trained):
+    from gaitlab import training
+
+    module, params0, state, _, _, (t, j, c) = trained
+    batch = training.synthetic_gait_batch(8, t=t, j=j, c=c, seed=777)
+
+    def avg_err(p):
+        _, pred_avg, _ = module.apply(p, batch["features"],
+                                      batch["cparams"])
+        return float(np.mean((np.asarray(pred_avg)
+                              - np.asarray(batch["gait_avg"])) ** 2))
+
+    assert avg_err(state.params) < 0.5 * avg_err(params0)
+
+
+def test_corrector_denoises_features(trained):
+    """The trained TS-attention correction moves noisy pose features
+    toward the clean signal — i.e. the correction itself carries value
+    beyond the encoder heads."""
+    from gaitlab import training
+
+    module, _, state, _, _, (t, j, c) = trained
+    batch = training.synthetic_gait_batch(8, t=t, j=j, c=c, seed=555)
+    corrected, _, _ = module.apply(state.params, batch["features"],
+                                   batch["cparams"])
+    clean = np.asarray(batch["clean_features"])
+    err_in = float(np.mean((np.asarray(batch["features"]) - clean) ** 2))
+    err_out = float(np.mean((np.asarray(corrected) - clean) ** 2))
+    # white noise cannot be fully removed from a short window; require a
+    # clear, reproducible improvement (measured 0.26 -> 0.21 at 600 steps)
+    assert err_out < 0.9 * err_in, (err_in, err_out)

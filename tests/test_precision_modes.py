@@ -1,0 +1,68 @@
+"""Precision-mode qualification (VERDICT r1 next-step #2): the runner's
+default precision must be a mode the committed TPU study measured inside
+the 0.5 mm MPJPE budget, and the mode must actually thread into the jitted
+forward. The study itself (scripts/precision_study.py) runs on the real
+chip and writes docs/PRECISION.json; this test pins the contract between
+that artifact and the production default."""
+
+import json
+import os.path as osp
+
+import numpy as np
+import pytest
+
+PRECISION_JSON = osp.join(osp.dirname(__file__), "..", "docs",
+                          "PRECISION.json")
+
+
+def _study():
+    with open(PRECISION_JSON) as f:
+        return json.load(f)
+
+
+def test_study_artifact_is_sane():
+    study = _study()
+    # the oracle must have been input-sensitive, else MPJPE is vacuous
+    assert study["oracle_joint_spread_mm"] > 10.0
+    modes = {r["mode"]: r for r in study["results"]}
+    assert "float32" in modes and "high" in modes
+    # exact-parity mode must be essentially exact even worst-case
+    assert modes["float32"]["mpjpe_mm"] < 0.01
+
+
+def test_runner_default_mode_is_qualified():
+    from gaitlab.pipeline.runner import GRNetRunner
+
+    default_mode = GRNetRunner.__dataclass_fields__["precision"].default
+    modes = {r["mode"]: r for r in _study()["results"]}
+    assert default_mode in modes, default_mode
+    r = modes[default_mode]
+    assert r["mpjpe_mm"] <= 0.5, (
+        f"runner default '{default_mode}' measured {r['mpjpe_mm']} mm "
+        f"worst-case MPJPE — outside the 0.5 mm budget")
+    # and it must be a real speedup over exact parity, not a rename
+    assert r["fps_per_chip"] > 1.5 * modes["float32"]["fps_per_chip"]
+
+
+def test_precision_threads_into_forward(monkeypatch, rng):
+    """The precision string reaches jax.default_matmul_precision inside
+    the jitted forward (structural check; CPU executes f32 either way)."""
+    import jax
+
+    from gaitlab.nn.grnet import GRNet
+    from gaitlab.pipeline.runner import GRNetRunner
+
+    seen = []
+    real = jax.default_matmul_precision
+
+    def spy(p):
+        seen.append(p)
+        return real(p)
+
+    monkeypatch.setattr(jax, "default_matmul_precision", spy)
+    model = GRNet.create()
+    runner = GRNetRunner(model, buckets=(4,), precision="high")
+    frames = rng.integers(0, 255, (2, 64, 64, 3)).astype(np.uint8)
+    bboxes = np.tile(np.array([32.0, 32.0, 40.0, 40.0], np.float32), (2, 1))
+    runner.run_track(frames, bboxes)
+    assert "high" in seen
