@@ -281,6 +281,17 @@ class MedianBackgroundDetector:
         self.threshold = threshold
         self.min_area_frac = min_area_frac
         self.max_model_frames = max_model_frames
+        self.background: Optional[np.ndarray] = None
+
+    def fit(self, frames: np.ndarray) -> "MedianBackgroundDetector":
+        """Build the background model from a frame sample once, so long
+        videos can then stream through __call__ chunk by chunk without
+        holding the whole clip in memory."""
+        frames = np.asarray(frames)
+        n = frames.shape[0]
+        idx = np.linspace(0, n - 1, min(n, self.max_model_frames)).astype(int)
+        self.background = np.median(frames[idx].astype(np.float32), axis=0)
+        return self
 
     def __call__(self, frames: np.ndarray) -> List[np.ndarray]:
         # Pure-host numpy: the math is tiny, and accelerator dispatch
@@ -288,8 +299,10 @@ class MedianBackgroundDetector:
         # (measured minutes on the axon TPU tunnel).
         frames = np.asarray(frames)
         n, h, w = frames.shape[:3]
-        idx = np.linspace(0, n - 1, min(n, self.max_model_frames)).astype(int)
-        background = np.median(frames[idx].astype(np.float32), axis=0)
+        background = self.background
+        if background is None:
+            background = self.fit(frames).background
+            self.background = None  # one-shot call: stay stateless
         min_area = int(self.min_area_frac * h * w)
         out = []
         for i in range(n):

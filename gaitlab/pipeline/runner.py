@@ -53,6 +53,20 @@ class GRNetRunner:
     # conv trunk (params cast in-graph; SMPL + regression stay f32). Fast
     # mode — NOT the parity path.
     trunk_dtype: Optional[str] = None
+    # Where the affine crop runs. "device": full-res frames ship to the
+    # accelerator and the warp+normalize fuse into one XLA program (best
+    # on locally-attached TPUs). "host": cv2 warpAffine on CPU threads,
+    # only 224² uint8 crops cross the wire (~40x less H2D — required for
+    # tunneled/remote accelerators at ~1.5 GB/s, where full-res 1080p feed
+    # alone caps throughput at ~240 fps). "auto": host for large frames,
+    # device otherwise.
+    crop_on: str = "auto"
+    # Output keys to fetch back to host (None = all). D2H on a tunneled
+    # accelerator runs ~30 MB/s: "verts" costs 82 KB/frame (~360 fps
+    # ceiling) while theta+joints cost ~1 KB/frame. The clinical
+    # batch_generation path needs only kp_3d — don't fetch what you don't
+    # need.
+    fetch: Optional[Sequence[str]] = None
     _fwd_cache: dict = field(default_factory=dict, repr=False)
 
     def __post_init__(self):
@@ -197,9 +211,13 @@ class GRNetRunner:
             cat = buf[0] if len(buf) == 1 else jnp.concatenate(buf, 0)
             dispatch(cat, buffered, start)
 
-        # single readback pass after the full pipeline is queued
+        # single readback pass after the full pipeline is queued; only the
+        # requested keys cross the (slow) D2H link
+        want = None if self.fetch is None else set(self.fetch) | {
+            "pred_avg", "pred_phase"}
         fetched = [{k: (np.asarray(v[:m]) if k != "pred_avg"
-                        else np.asarray(v)) for k, v in out.items()}
+                        else np.asarray(v)) for k, v in out.items()
+                    if want is None or k in want}
                    for out, m in zip(outs, lengths)]
         merged = {}
         for k in fetched[0]:
@@ -228,18 +246,58 @@ class GRNetRunner:
         if isinstance(frames_or_paths, np.ndarray):
             chunks = (frames_or_paths[s : s + self.ingest_chunk]
                       for s in range(0, n, self.ingest_chunk))
+            frame_hw = frames_or_paths.shape[1] * frames_or_paths.shape[2]
+        elif hasattr(frames_or_paths, "image_hw"):
+            # chunked frame source (e.g. video.VideoChunkReader): decoded
+            # chunks stream straight from the container, no image folder
+            chunks = iter(frames_or_paths)
+            hh, ww = frames_or_paths.image_hw
+            frame_hw = hh * ww
         else:
-            from gaitlab.pipeline.loader import PrefetchLoader
+            from gaitlab.pipeline.loader import PrefetchLoader, image_size
 
             chunks = iter(PrefetchLoader(frames_or_paths,
                                          chunk=self.ingest_chunk))
+            hh, ww = image_size(frames_or_paths[0])
+            frame_hw = hh * ww
+        crop_on = self.crop_on
+        if crop_on == "auto":
+            # ship full-res frames only while that is cheaper than 2x the
+            # crop traffic; beyond ~2x crop area, host-crop wins on H2D
+            crop_on = ("device" if frame_hw <= 2 * self.crop_size ** 2
+                       else "host")
+
         s = 0
         for chunk in chunks:
             e = s + len(chunk)
-            yield crop_mod.crop_and_normalize(
-                chunk, bboxes[s:e], scale=scale, crop_size=self.crop_size)
+            if crop_on == "host":
+                yield self._host_crop(chunk, bboxes[s:e], scale)
+            else:
+                yield crop_mod.crop_and_normalize(
+                    chunk, bboxes[s:e], scale=scale, crop_size=self.crop_size)
             s = e
         assert s == n, (s, n)
+
+    def _host_crop(self, chunk: np.ndarray, bboxes: np.ndarray,
+                   scale: float) -> jax.Array:
+        """cv2 warpAffine on a thread pool (cv2 drops the GIL), uint8
+        crops to device, ImageNet-normalize there. Bit-identical to the
+        reference's host preprocessing (img_utils.py:90-113)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        cs = self.crop_size
+        out = np.empty((len(chunk), cs, cs, 3), np.uint8)
+
+        def one(i):
+            bb = bboxes[i]
+            patch, _ = crop_mod.generate_patch_image(
+                chunk[i], bb[0], bb[1], bb[2], bb[3], cs, cs, scale=scale)
+            out[i] = patch
+
+        if getattr(self, "_crop_pool", None) is None:
+            self._crop_pool = ThreadPoolExecutor(max_workers=8)
+        list(self._crop_pool.map(one, range(len(chunk))))
+        return crop_mod.normalize_image(jnp.asarray(out))
 
     def crop_track(self, frames_or_paths, bboxes: np.ndarray,
                    scale: Optional[float] = None) -> jnp.ndarray:
@@ -261,6 +319,8 @@ class GRNetRunner:
             # center (reference Inference gait mode, inference.py:84-85)
             if isinstance(frames_or_paths, np.ndarray):
                 h, w = frames_or_paths.shape[1:3]
+            elif hasattr(frames_or_paths, "image_hw"):
+                h, w = frames_or_paths.image_hw
             else:
                 from gaitlab.pipeline.loader import image_size
 
@@ -270,15 +330,14 @@ class GRNetRunner:
         out = self._forward_stream(
             self._crop_stream(frames_or_paths, bboxes, scale),
             bbox=bb, cimg=ci)
-        result = {
-            "pred_cam": out["theta"][:, :3],
-            "verts": out["verts"],
-            "pose": out["theta"][:, 3:75],
-            "betas": out["theta"][:, 75:],
-            "joints3d": out["kp_3d"],
-            "joints2d": out["kp_2d"],
-        }
-        for k in ("pred_avg", "pred_phase"):
-            if k in out:
-                result[k] = out[k]
+        result = {}
+        if "theta" in out:
+            result["pred_cam"] = out["theta"][:, :3]
+            result["pose"] = out["theta"][:, 3:75]
+            result["betas"] = out["theta"][:, 75:]
+        for src, dst in (("verts", "verts"), ("kp_3d", "joints3d"),
+                         ("kp_2d", "joints2d"), ("pred_avg", "pred_avg"),
+                         ("pred_phase", "pred_phase")):
+            if src in out:
+                result[dst] = out[src]
         return result

@@ -75,6 +75,95 @@ def read_frames(vid_file: str, fps: Optional[float] = None
     cap.release()
 
 
+class VideoChunkReader:
+    """Stream selected frames straight from a video file in decoded
+    chunks, with one-chunk prefetch on a worker thread.
+
+    TPU-native alternative to the reference's video->PNG-folder->re-decode
+    round trip (demo_utils.py:105-134 + DataLoader imread): H.264 decode
+    is far cheaper than PNG encode+decode+disk, so a long clip streams
+    decode->crop->device without ever touching the filesystem. Feed this
+    to GRNetRunner.run_track in place of a path list.
+
+    frame_ids: sorted frame indices to keep (a track's frames); None = all.
+    Yields (k, H, W, 3) uint8 RGB chunks covering frame_ids in order.
+    """
+
+    def __init__(self, vid_file: str, frame_ids=None, chunk: int = 32):
+        self.vid_file = vid_file
+        self.chunk = chunk
+        self.frame_ids = (None if frame_ids is None
+                          else np.asarray(frame_ids, np.int64))
+        if self.frame_ids is not None:
+            assert np.all(np.diff(self.frame_ids) >= 0), "sorted ids only"
+        n, fps, w, h = get_video_info(vid_file)
+        self.image_hw = (h, w)
+        self.num_frames = (n if self.frame_ids is None
+                           else len(self.frame_ids))
+
+    def __len__(self):
+        return -(-self.num_frames // self.chunk)
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        import queue
+        import threading
+
+        import cv2
+
+        q: queue.Queue = queue.Queue(maxsize=2)
+        stop = threading.Event()
+
+        def worker():
+            cap = cv2.VideoCapture(self.vid_file)
+            try:
+                if not cap.isOpened():
+                    raise FileNotFoundError(self.vid_file)
+                want = self.frame_ids
+                wi = 0
+                buf = []
+                i = 0
+                while not stop.is_set():
+                    ok, frame = cap.read()
+                    if not ok:
+                        break
+                    take = 0
+                    if want is None:
+                        take = 1
+                    else:
+                        while wi < len(want) and want[wi] == i:
+                            take += 1  # duplicated ids allowed
+                            wi += 1
+                    if take:
+                        rgb = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+                        buf.extend([rgb] * take)
+                        while len(buf) >= self.chunk:
+                            q.put(np.stack(buf[: self.chunk]))
+                            buf = buf[self.chunk :]
+                    i += 1
+                    if want is not None and wi >= len(want):
+                        break
+                if buf:
+                    q.put(np.stack(buf))
+                q.put(None)
+            except Exception as e:
+                q.put(e)
+            finally:
+                cap.release()
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+
+
 def video_to_images(
     vid_file: str,
     img_folder: Optional[str] = None,

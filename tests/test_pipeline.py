@@ -242,3 +242,63 @@ def test_blob_filter_rejects_flat_blobs():
     tall[20:180, 40:70] = True  # 160 tall x 30 wide: person-shaped
     boxes = _connected_components_boxes(tall, min_area=100)
     assert boxes.shape[0] == 1
+
+
+def test_video_chunk_reader(tmp_path, rng):
+    """VideoChunkReader streams selected frames in order, matching the
+    decode-to-folder path frame for frame."""
+    import cv2
+
+    from gaitlab.pipeline import video
+
+    vid = str(tmp_path / "clip.mp4")
+    w, h, n = 128, 96, 25
+    writer = cv2.VideoWriter(vid, cv2.VideoWriter_fourcc(*"mp4v"), 20.0,
+                             (w, h))
+    base = rng.integers(0, 200, (h, w, 3)).astype(np.uint8)
+    for i in range(n):
+        f = base.copy()
+        f[:10, :10] = i * 10  # frame marker
+        writer.write(f)
+    writer.release()
+
+    all_frames = np.stack(list(video.read_frames(vid)))
+    ids = np.array([2, 3, 7, 11, 11, 18])  # includes a duplicated id
+    reader = video.VideoChunkReader(vid, frame_ids=ids, chunk=4)
+    assert reader.image_hw == (h, w)
+    assert reader.num_frames == len(ids)
+    got = np.concatenate(list(reader), axis=0)
+    np.testing.assert_array_equal(got, all_frames[ids])
+
+    # full-clip mode
+    reader_all = video.VideoChunkReader(vid, chunk=8)
+    got_all = np.concatenate(list(reader_all), axis=0)
+    np.testing.assert_array_equal(got_all, all_frames)
+
+
+def test_runner_accepts_video_reader(tmp_path, monkeypatch, rng):
+    """run_track consumes a VideoChunkReader directly (no image folder)."""
+    import cv2
+
+    monkeypatch.setenv("GAITLAB_BUCKETS", "8")
+    from gaitlab.nn.grnet import GRNet
+    from gaitlab.pipeline import video
+    from gaitlab.pipeline.runner import GRNetRunner
+
+    vid = str(tmp_path / "clip.mp4")
+    writer = cv2.VideoWriter(vid, cv2.VideoWriter_fourcc(*"mp4v"), 20.0,
+                             (128, 96))
+    base = rng.integers(30, 70, (96, 128, 3)).astype(np.uint8)
+    for i in range(6):
+        writer.write(base)
+    writer.release()
+
+    ids = np.arange(6)
+    bboxes = np.tile(np.array([64.0, 48.0, 60.0, 60.0], np.float32), (6, 1))
+    model = GRNet.create()
+    out_stream = GRNetRunner(model).run_track(
+        video.VideoChunkReader(vid, frame_ids=ids, chunk=4), bboxes)
+    frames = np.stack(list(video.read_frames(vid)))
+    out_mem = GRNetRunner(model).run_track(frames, bboxes)
+    np.testing.assert_allclose(out_stream["joints3d"], out_mem["joints3d"],
+                               atol=1e-4)

@@ -73,3 +73,40 @@ def test_runner_sharded_nondivisible_batch(monkeypatch, rng):
         rtol = 1e-2 if k == "joints2d" else 2e-3
         np.testing.assert_allclose(sharded[k], single[k], rtol=rtol,
                                    atol=1e-3, err_msg=k)
+
+
+def test_runner_host_crop_matches_device_crop(monkeypatch, rng):
+    """crop_on='host' (cv2 warpAffine + uint8 upload) matches the fused
+    device crop within the documented <=1-intensity-count bound."""
+    monkeypatch.setenv("GAITLAB_BUCKETS", "8")
+    from gaitlab.nn.grnet import GRNet
+    from gaitlab.pipeline.runner import GRNetRunner
+
+    model = GRNet.create()
+    frames = rng.integers(0, 255, (4, 96, 128, 3)).astype(np.uint8)
+    bboxes = np.tile(np.array([64.0, 48.0, 70.0, 70.0], np.float32), (4, 1))
+
+    dev = GRNetRunner(model, crop_on="device").run_track(frames, bboxes)
+    host = GRNetRunner(model, crop_on="host").run_track(frames, bboxes)
+    np.testing.assert_allclose(host["joints3d"], dev["joints3d"],
+                               atol=2e-3)
+
+
+def test_runner_fetch_subset(monkeypatch, rng):
+    """fetch=('theta','kp_3d') skips the heavy verts D2H but keeps the
+    joint outputs (tunneled-accelerator production mode)."""
+    monkeypatch.setenv("GAITLAB_BUCKETS", "8")
+    from gaitlab.nn.grnet import GRNet
+    from gaitlab.pipeline.runner import GRNetRunner
+
+    model = GRNet.create()
+    frames = rng.integers(0, 255, (3, 96, 128, 3)).astype(np.uint8)
+    bboxes = np.tile(np.array([64.0, 48.0, 70.0, 70.0], np.float32), (3, 1))
+
+    out = GRNetRunner(model, fetch=("theta", "kp_3d")).run_track(
+        frames, bboxes)
+    assert set(out) == {"pred_cam", "pose", "betas", "joints3d"}
+    assert out["joints3d"].shape == (3, 29, 3)
+
+    full = GRNetRunner(model).run_track(frames, bboxes)
+    np.testing.assert_allclose(out["joints3d"], full["joints3d"], atol=1e-5)
