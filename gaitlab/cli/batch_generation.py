@@ -13,6 +13,13 @@ TPU-native extensions (documented, additive):
     process sharding, SURVEY.md §2C — embarrassingly parallel, no
     collectives);
   * --resume: skip shard files that already exist (idempotent restarts);
+  * --stream: decode clips straight from the container at the same
+    fps-20 resample (pipeline/video.VideoChunkReader) instead of the
+    reference's video->PNG-folder->re-decode round trip — identical frame
+    selection, no filesystem churn (PNG extraction measures ~4 fps at
+    1080p, see bench_e2e.py);
+  * the runner fetches only kp_3d from the device — the database schema
+    needs nothing else, and vertex readback is ~80x the joint traffic;
   * failed videos are recorded in `<outpath>_failed.json` instead of
     aborting the run (SURVEY.md §5 failure-detection plan).
 """
@@ -58,6 +65,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="process-level sharding: this worker's index.")
     p.add_argument("--resume", action="store_true",
                    help="skip output shards that already exist.")
+    p.add_argument("--stream", action="store_true",
+                   help="decode straight from the video (no PNG folder).")
     return p
 
 
@@ -101,7 +110,8 @@ def _flush_db(db: dict, outpath: str, out_ind: int, start_time: float):
 def prepare_data(fv: str, vid_folder: str, outpath: str,
                  pretrained_file: str = None, smpl_model: str = None,
                  num_shards: int = 1, shard_id: int = 0,
-                 resume: bool = False, debug: bool = False):
+                 resume: bool = False, debug: bool = False,
+                 stream: bool = False):
     """Reference prepare_data (batch_generation.py:180-287), TPU pipeline."""
     from gaitlab.cli.demo import load_model
     from gaitlab.pipeline import video as video_mod
@@ -116,7 +126,8 @@ def prepare_data(fv: str, vid_folder: str, outpath: str,
     args = argparse.Namespace(ckpt=pretrained_file or "",
                               smpl_model=smpl_model, cfg=None)
     model = load_model(args, cfg=None)
-    runner = GRNetRunner(model)
+    # database schema stores only joints3D: skip the 6890-vertex readback
+    runner = GRNetRunner(model, fetch=("kp_3d",))
     if not outpath.endswith(".json"):
         outpath = outpath + ".json"
 
@@ -144,20 +155,36 @@ def prepare_data(fv: str, vid_folder: str, outpath: str,
             vid_path = osp.join(vid_folder, vid_name)
             bboxes = np.asarray(annos[vid_name.split(".")[0]], np.float32)
             frame_num = bboxes.shape[0]
-            img_dir = video_to_images_fps20(vid_path)
-            img_files = video_mod.list_image_files(img_dir)
-            assert abs(len(img_files) - frame_num) < MIN_FDIFF, \
-                f"frame mismatch: {len(img_files)} vs {frame_num}"
-            if len(img_files) - frame_num != 0:
+            if stream:
+                n_raw, fps_in, _, _ = video_mod.get_video_info(vid_path)
+                keep = video_mod._fps_resample_indices(
+                    n_raw, fps_in, EXTRACT_FPS)
+                n_extracted = len(keep)
+            else:
+                img_dir = video_to_images_fps20(vid_path)
+                img_files = video_mod.list_image_files(img_dir)
+                n_extracted = len(img_files)
+            assert abs(n_extracted - frame_num) < MIN_FDIFF, \
+                f"frame mismatch: {n_extracted} vs {frame_num}"
+            if n_extracted - frame_num != 0:
                 # reference realigns by repeating the first bbox (:258-261)
-                bboxes = np.repeat(bboxes[0, None, :], len(img_files), axis=0)
-                frame_num = len(img_files)
-            outputs = run_grnet_on_frames(
-                runner, img_dir, np.arange(frame_num), bboxes)
+                bboxes = np.repeat(bboxes[0, None, :], n_extracted, axis=0)
+                frame_num = n_extracted
+            if stream:
+                reader = video_mod.VideoChunkReader(vid_path,
+                                                    frame_ids=keep)
+                out = runner.run_track(reader, bboxes, scale=1.1)
+                kp_3d = convert_kps(out["joints3d"], src="spin2",
+                                    dst="kinectv2").astype(np.float32)
+                outputs = {"kp_3d": kp_3d}
+            else:
+                outputs = run_grnet_on_frames(
+                    runner, img_dir, np.arange(frame_num), bboxes)
             db["vid_name"].extend([vid_name.split(".")[0]] * frame_num)
             db["bbox"].append(bboxes.reshape(frame_num, 4))
             db["joints3D"].append(outputs["kp_3d"].reshape(frame_num, 25, 3))
-            shutil.rmtree(img_dir)
+            if not stream:
+                shutil.rmtree(img_dir)
         except Exception as e:  # quarantine, don't abort the corpus run
             print(f"FAILED video {vid_name}: {e}")
             failed.append({"vid_name": vid_name, "error": str(e)})
@@ -181,7 +208,8 @@ def main(args):
     prepare_data(fv=args.bbox_path, vid_folder=args.vid_folder,
                  outpath=args.outpath, pretrained_file=args.pretrained_file,
                  smpl_model=args.smpl_model, num_shards=args.num_shards,
-                 shard_id=args.shard_id, resume=args.resume)
+                 shard_id=args.shard_id, resume=args.resume,
+                 stream=args.stream)
 
 
 if __name__ == "__main__":

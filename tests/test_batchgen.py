@@ -118,6 +118,18 @@ def test_batch_generation_end_to_end(tmp_path, monkeypatch):
     assert db["joints3D"].shape[0] == 60
     assert np.all(np.isfinite(db["joints3D"]))
 
+    # --stream (direct video decode, joints-only fetch) produces the same
+    # database as the PNG-folder path
+    out2 = str(tmp_path / "dbs.json")
+    n_shards = bg.prepare_data(fv=bbox_path, vid_folder=str(vid_dir),
+                               outpath=out2, pretrained_file=None,
+                               stream=True)
+    assert n_shards == 1
+    db_s = joblib.load(str(tmp_path / "dbs_0.json"))
+    assert list(db_s["vid_name"]) == list(db["vid_name"])
+    np.testing.assert_allclose(db_s["bbox"], db["bbox"])
+    np.testing.assert_allclose(db_s["joints3D"], db["joints3D"], atol=2e-3)
+
 
 def test_load_openpose_anno(tmp_path):
     import scipy.io as sio
