@@ -277,20 +277,41 @@ class MedianBackgroundDetector:
     """
 
     def __init__(self, threshold: float = 25.0, min_area_frac: float = 2e-3,
-                 max_model_frames: int = 60):
+                 max_model_frames: int = 60,
+                 max_pixels: int = 160_000):
         self.threshold = threshold
         self.min_area_frac = min_area_frac
         self.max_model_frames = max_model_frames
+        # Detection runs on frames downscaled to <= max_pixels (a 1080p
+        # frame maps to ~0.25x): background subtraction only needs to
+        # localize a person-sized blob, and full-res morphology costs
+        # ~240 ms/frame at 1080p vs ~4 ms downscaled. Boxes are reported
+        # in original-image coordinates. max_pixels=0 disables.
+        self.max_pixels = max_pixels
         self.background: Optional[np.ndarray] = None
+
+    def _shrink(self, frames: np.ndarray):
+        h, w = frames.shape[1:3]
+        if not self.max_pixels or h * w <= self.max_pixels:
+            return frames, (1.0, 1.0)
+        # integer-stride subsampling: effectively free, and plenty for
+        # localizing a person-sized blob (a real resize costs more than
+        # the detection itself at 1080p)
+        step = int(np.ceil((h * w / self.max_pixels) ** 0.5))
+        small = frames[:, ::step, ::step]
+        return small, (w / small.shape[2], h / small.shape[1])
 
     def fit(self, frames: np.ndarray) -> "MedianBackgroundDetector":
         """Build the background model from a frame sample once, so long
         videos can then stream through __call__ chunk by chunk without
         holding the whole clip in memory."""
-        frames = np.asarray(frames)
+        frames, _ = self._shrink(np.asarray(frames))
         n = frames.shape[0]
         idx = np.linspace(0, n - 1, min(n, self.max_model_frames)).astype(int)
-        self.background = np.median(frames[idx].astype(np.float32), axis=0)
+        med = np.median(frames[idx].astype(np.float32), axis=0)
+        # uint8 background: cv2.absdiff(u8, u8) is SIMD-fast; the <=0.5
+        # rounding is far below the detection threshold (default 25)
+        self.background = np.clip(np.round(med), 0, 255).astype(np.uint8)
         return self
 
     def __call__(self, frames: np.ndarray) -> List[np.ndarray]:
@@ -298,15 +319,29 @@ class MedianBackgroundDetector:
         # through a remote/tunneled device costs far more than it saves
         # (measured minutes on the axon TPU tunnel).
         frames = np.asarray(frames)
-        n, h, w = frames.shape[:3]
+        one_shot = self.background is None
+        if one_shot:
+            self.fit(frames)
+        small, scale = self._shrink(frames)
         background = self.background
-        if background is None:
-            background = self.fit(frames).background
+        if one_shot:
             self.background = None  # one-shot call: stay stateless
+        import cv2
+
+        n, h, w = small.shape[:3]
         min_area = int(self.min_area_frac * h * w)
         out = []
         for i in range(n):
-            diff = np.abs(frames[i].astype(np.float32) - background)
-            fg = diff.max(axis=-1) > self.threshold
-            out.append(_connected_components_boxes(fg, min_area))
+            diff = cv2.absdiff(np.ascontiguousarray(small[i]), background)
+            # channel max via cv2.split/max: numpy's .max(axis=-1) over
+            # the 3-wide trailing axis is ~10x slower (strided reduce)
+            c0, c1, c2 = cv2.split(diff)
+            fg = cv2.max(cv2.max(c0, c1), c2) > self.threshold
+            boxes = _connected_components_boxes(fg, min_area)
+            if scale != (1.0, 1.0) and len(boxes):
+                boxes[:, 0] *= scale[0]
+                boxes[:, 2] *= scale[0]
+                boxes[:, 1] *= scale[1]
+                boxes[:, 3] *= scale[1]
+            out.append(boxes)
         return out
