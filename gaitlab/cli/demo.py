@@ -78,6 +78,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--smpl_model", type=str, default=None,
                    help="path to SMPL model pkl/npz (extension flag; "
                         "defaults to data/smpl_data per config).")
+    p.add_argument("--stream", action="store_true",
+                   help="decode frames straight from the video (no PNG "
+                        "frame folder; extension flag). Requires "
+                        "--no rendering/display: combine with "
+                        "--save_vid off (pass --save_vid) or it falls "
+                        "back to the folder pipeline.")
     return p
 
 
@@ -127,8 +133,12 @@ def load_model(args, cfg):
     return model
 
 
-def run_tracking(args, image_folder):
+def run_tracking(args, image_folder, video_file=None):
+    """Detection + SORT. With video_file set (--stream), frames stream
+    straight from the container in chunks; otherwise the frame folder is
+    loaded like the reference (demo.py:89-97)."""
     import joblib as jl
+    import numpy as np
 
     from gaitlab.pipeline import detect, tracks, video
 
@@ -138,6 +148,23 @@ def run_tracking(args, image_folder):
         if 0 not in list(tracking_results.keys()):
             tracking_results = {0: tracking_results}
         print(f'Loaded precomputed tracklets from "{trackpath}"')
+    elif video_file is not None:
+        detector = detect.get_detector(args.detector)
+        if isinstance(detector, detect.MedianBackgroundDetector):
+            head = []
+            got = 0
+            for chunk in video.VideoChunkReader(video_file, chunk=64):
+                head.append(chunk)
+                got += len(chunk)
+                if got >= 64:
+                    break
+            detector.fit(np.concatenate(head, axis=0))
+
+        def det_stream():
+            for chunk in video.VideoChunkReader(video_file, chunk=64):
+                yield from detector(chunk)
+
+        tracking_results = tracks.track_video(det_stream())
     else:
         frames = video.load_frames(video.list_image_files(image_folder))
         detector = detect.get_detector(args.detector)
@@ -172,6 +199,13 @@ def main(args):
     )
     os.makedirs(output_path, exist_ok=True)
 
+    stream = bool(args.stream) and not args.img_folder
+    if stream and (args.save_vid or args.mesh_render or args.display):
+        print("WARNING: --stream needs rendering/display off (pass "
+              "--save_vid to disable video output); using the frame-folder "
+              "pipeline.")
+        stream = False
+
     if args.img_folder:
         image_folder = args.img_folder
         files = video.list_image_files(image_folder)
@@ -180,6 +214,10 @@ def main(args):
 
         first = cv2.imread(files[0])
         orig_height, orig_width = first.shape[:2]
+    elif stream:
+        image_folder = None
+        num_frames, _fps, orig_width, orig_height = video.get_video_info(
+            video_file)
     else:
         with timer.stage("decode"):
             image_folder, num_frames, img_shape = video.video_to_images(
@@ -189,14 +227,16 @@ def main(args):
     print(f"Input video number of frames {num_frames}")
 
     with timer.stage("tracking"):
-        tracking_results, num_frames_list = run_tracking(args, image_folder)
+        tracking_results, num_frames_list = run_tracking(
+            args, image_folder, video_file=video_file if stream else None)
     for person_id in list(tracking_results.keys()):
         if tracking_results[person_id]["frames"].shape[0] < MIN_NUM_FRAMES:
             del tracking_results[person_id]
 
     model = load_model(args, cfg)
     runner = GRNetRunner(model, bbox_scale=1.0)
-    image_files = np.array(video.list_image_files(image_folder))
+    image_files = (np.array(video.list_image_files(image_folder))
+                   if image_folder else None)
 
     print("Running Model on each tracklet...")
     grnet_time = time.time()
@@ -206,9 +246,12 @@ def main(args):
     for person_id in list(tracking_results.keys()):
         bboxes = np.array(tracking_results[person_id]["bbox"], np.float32)
         frames = np.asarray(tracking_results[person_id]["frames"])
-        paths = list(image_files[frames])
+        if image_files is None:  # --stream: decode straight from the video
+            source = video.VideoChunkReader(video_file, frame_ids=frames)
+        else:
+            source = list(image_files[frames])
 
-        out = runner.run_track(paths, bboxes)
+        out = runner.run_track(source, bboxes)
         pred_cam, pred_verts = out["pred_cam"], out["verts"]
         pred_pose, pred_betas = out["pose"], out["betas"]
         pred_joints3d, smpl_joints2d = out["joints3d"], out["joints2d"]
@@ -303,7 +346,7 @@ def main(args):
         )
         timer.stages["render"] = time.time() - t_render
 
-    if not args.img_folder:
+    if not args.img_folder and image_folder:
         shutil.rmtree(image_folder)
     print("Stage timing:\n" + timer.report())
     print("================= END =================")

@@ -145,3 +145,32 @@ def test_demo_cli_precomputed_tracking(tmp_path, monkeypatch):
     results = demo.main(args)
     assert 0 in results
     assert results[0]["joints3d"].shape[1:] == (29, 3)  # spin default->spin2
+
+
+@pytest.mark.slow
+def test_demo_cli_stream_mode(tmp_path, monkeypatch):
+    """--stream (no PNG frame folder) produces the same joints as the
+    folder pipeline."""
+    monkeypatch.setenv("GAITLAB_BUCKETS", "64")
+    from gaitlab.cli import demo
+
+    vid = str(tmp_path / "walk.mp4")
+    make_synthetic_video(vid)
+
+    base = ["--vid_file", vid, "--cfg",
+            "/root/reference/configs/config_grnet.yaml"]
+    args_folder = demo.build_parser().parse_args(
+        base + ["--output_folder", str(tmp_path / "o1"), "--save_vid"])
+    res_folder = demo.main(args_folder)
+
+    args_stream = demo.build_parser().parse_args(
+        base + ["--output_folder", str(tmp_path / "o2"), "--save_vid",
+                "--stream"])
+    res_stream = demo.main(args_stream)
+
+    assert set(res_stream.keys()) == set(res_folder.keys())
+    for pid in res_folder:
+        np.testing.assert_array_equal(res_stream[pid]["frame_ids"],
+                                      res_folder[pid]["frame_ids"])
+        np.testing.assert_allclose(res_stream[pid]["joints3d"],
+                                   res_folder[pid]["joints3d"], atol=2e-3)
