@@ -169,9 +169,15 @@ class HighResolutionModule(nn.Module):
 
 class PoseHighResolutionNet(nn.Module):
     """Full backbone (hrnet.py:276-536). Input NHWC (N,224,224,3);
-    deployed output (N,56,56,480)."""
+    deployed output (N,56,56,480).
+
+    stop_after truncates the forward at a stage boundary ("stem",
+    "layer1", "stage2", "stage3", "stage4") — a static profiling knob for
+    per-stage timing (scripts/stage_timing.py); parameter names of the
+    surviving prefix are unchanged."""
 
     cfg: HRNetCfg
+    stop_after: str = ""
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
@@ -183,6 +189,8 @@ class PoseHighResolutionNet(nn.Module):
         x = conv(64, 3, 2, name="conv2")(x)
         x = batch_norm(train, name="bn2")(x)
         x = nn.relu(x)
+        if self.stop_after == "stem":
+            return x
 
         # layer1: 4 Bottlenecks 64->256
         in_ch = 64
@@ -190,6 +198,8 @@ class PoseHighResolutionNet(nn.Module):
             x = Bottleneck(64, 1, has_downsample=(b == 0), name=f"layer1_{b}")(
                 x, train
             )
+        if self.stop_after == "layer1":
+            return x
         # transitions + stages
         def transition(prev: list, prev_ch: tuple, cur_ch: tuple, name: str) -> list:
             outs = []
@@ -227,12 +237,18 @@ class PoseHighResolutionNet(nn.Module):
 
         xs = transition([x], (256,), tuple(cfg.stage2.num_channels), "transition1")
         xs = stage(xs, cfg.stage2, "stage2")
+        if self.stop_after == "stage2":
+            return xs[0]
         xs = transition(xs, tuple(cfg.stage2.num_channels),
                         tuple(cfg.stage3.num_channels), "transition2")
         xs = stage(xs, cfg.stage3, "stage3")
+        if self.stop_after == "stage3":
+            return xs[0]
         xs = transition(xs, tuple(cfg.stage3.num_channels),
                         tuple(cfg.stage4.num_channels), "transition3")
         xs = stage(xs, cfg.stage4, "stage4")
+        if self.stop_after == "stage4":
+            return xs[0]
 
         # heads (deployed: downsample=False, use_conv=True -> upsample_stage_k,
         # hrnet.py:341-344, 519-524)

@@ -85,9 +85,15 @@ class GRNetRunner:
 
     # -- model forward at a fixed bucket size --------------------------------
 
-    def _forward(self, n: int):
-        if n in self._fwd_cache:
-            return self._fwd_cache[n]
+    def _forward(self, n: int, raw_uint8: bool = False):
+        """Jitted forward at bucket size n. raw_uint8=True takes uint8
+        crops and ImageNet-normalizes in-graph — the host-crop path ships
+        raw bytes and runs ONE program per bucket (through a tunneled
+        device, each eager op costs a full dispatch round trip, so
+        per-chunk normalize/pad/concat ops dominate everything)."""
+        key = (n, raw_uint8)
+        if key in self._fwd_cache:
+            return self._fwd_cache[key]
         module = self.model.module
         joint_mode = self.model.joint_mode
 
@@ -99,6 +105,8 @@ class GRNetRunner:
         def fwd(variables, smpl, images, bbox=None, cimg=None, n_valid=None):
             import contextlib
 
+            if raw_uint8:
+                images = crop_mod.normalize_image(images)
             ctx = (jax.default_matmul_precision(precision)
                    if precision and precision != "default"
                    else contextlib.nullcontext())
@@ -132,7 +140,7 @@ class GRNetRunner:
                            out_shardings=repl)
         else:
             jfwd = jax.jit(fwd)
-        self._fwd_cache[n] = jfwd
+        self._fwd_cache[key] = jfwd
         return jfwd
 
     def _trunk_variables(self):
@@ -176,23 +184,28 @@ class GRNetRunner:
         smpl = self.model.smpl
 
         def pad_to(arr, m, b):
+            # host (numpy) chunks pad on host — eager device pads cost a
+            # dispatch round trip each through a tunneled accelerator
             if arr is None or m == b:
                 return arr
-            rep = jnp.broadcast_to(arr[-1:], (b - m,) + tuple(arr.shape[1:]))
-            return jnp.concatenate([arr, rep], axis=0)
+            xp = np if isinstance(arr, np.ndarray) else jnp
+            rep = xp.broadcast_to(arr[-1:], (b - m,) + tuple(arr.shape[1:]))
+            return xp.concatenate([arr, rep], axis=0)
 
         outs: list[dict] = []
         lengths: list[int] = []
 
         def dispatch(piece, m, start):
             b = self._bucket(m)
+            raw = isinstance(piece, np.ndarray)
             piece = pad_to(piece, m, b)
-            bb = pad_to(jnp.asarray(bbox[start : start + m], jnp.float32)
+            bb = pad_to(np.asarray(bbox[start : start + m], np.float32)
                         if bbox is not None else None, m, b)
-            ci = pad_to(jnp.asarray(cimg[start : start + m], jnp.float32)
+            ci = pad_to(np.asarray(cimg[start : start + m], np.float32)
                         if cimg is not None else None, m, b)
-            nv = jnp.asarray(m, jnp.int32) if gait else None
-            outs.append(self._forward(b)(variables, smpl, piece, bb, ci, nv))
+            nv = np.int32(m) if gait else None
+            outs.append(self._forward(b, raw_uint8=raw)(
+                variables, smpl, piece, bb, ci, nv))
             lengths.append(m)
 
         buf: list = []
@@ -202,13 +215,15 @@ class GRNetRunner:
             buf.append(chunk)
             buffered += chunk.shape[0]
             while buffered >= max_b:
-                cat = buf[0] if len(buf) == 1 else jnp.concatenate(buf, 0)
+                xp = np if isinstance(buf[0], np.ndarray) else jnp
+                cat = buf[0] if len(buf) == 1 else xp.concatenate(buf, 0)
                 dispatch(cat[:max_b], max_b, start)
                 start += max_b
                 buffered -= max_b
                 buf = [cat[max_b:]] if buffered else []
         if buffered:
-            cat = buf[0] if len(buf) == 1 else jnp.concatenate(buf, 0)
+            xp = np if isinstance(buf[0], np.ndarray) else jnp
+            cat = buf[0] if len(buf) == 1 else xp.concatenate(buf, 0)
             dispatch(cat, buffered, start)
 
         # single readback pass after the full pipeline is queued; only the
@@ -279,10 +294,12 @@ class GRNetRunner:
         assert s == n, (s, n)
 
     def _host_crop(self, chunk: np.ndarray, bboxes: np.ndarray,
-                   scale: float) -> jax.Array:
-        """cv2 warpAffine on a thread pool (cv2 drops the GIL), uint8
-        crops to device, ImageNet-normalize there. Bit-identical to the
-        reference's host preprocessing (img_utils.py:90-113)."""
+                   scale: float) -> np.ndarray:
+        """cv2 warpAffine on a thread pool (cv2 drops the GIL) -> host
+        uint8 crops. Bit-identical to the reference's host preprocessing
+        (img_utils.py:90-113). Normalization happens inside the jitted
+        forward (raw_uint8 path), so the device sees one H2D + one
+        program per bucket."""
         from concurrent.futures import ThreadPoolExecutor
 
         cs = self.crop_size
@@ -297,13 +314,16 @@ class GRNetRunner:
         if getattr(self, "_crop_pool", None) is None:
             self._crop_pool = ThreadPoolExecutor(max_workers=8)
         list(self._crop_pool.map(one, range(len(chunk))))
-        return crop_mod.normalize_image(jnp.asarray(out))
+        return out
 
     def crop_track(self, frames_or_paths, bboxes: np.ndarray,
                    scale: Optional[float] = None) -> jnp.ndarray:
         """Frames + per-frame square bboxes -> normalized crops on device."""
-        return jnp.concatenate(
-            list(self._crop_stream(frames_or_paths, bboxes, scale)), axis=0)
+        chunks = list(self._crop_stream(frames_or_paths, bboxes, scale))
+        if isinstance(chunks[0], np.ndarray):  # host-crop path: raw uint8
+            return crop_mod.normalize_image(
+                jnp.asarray(np.concatenate(chunks, axis=0)))
+        return jnp.concatenate(chunks, axis=0)
 
     def run_track(self, frames_or_paths, bboxes: np.ndarray,
                   scale: Optional[float] = None) -> dict:

@@ -67,7 +67,7 @@ def test_pred_avg_merge_is_length_weighted(monkeypatch):
     model = GRNet.create(use_gait_feat=True, featcorr_h_size=64)
     runner = GRNetRunner(model, buckets=(4,))
 
-    def fake_forward(b):
+    def fake_forward(b, raw_uint8=False):
         def fwd(variables, smpl, images, bbox=None, cimg=None, n_valid=None):
             n = images.shape[0]
             val = float(n_valid)
