@@ -178,6 +178,21 @@ def main():
             f"{stages[f'model_stream_{variant}']:.1f}s "
             f"({nts / stages[f'model_stream_{variant}']:.0f} fps)")
 
+    # ---- 3. one-pass architecture: ONE decode, detect+track+crop+model ---
+    # (gaitlab.pipeline.stream: SORT is causal, so the whole pipeline runs
+    # in a single streaming pass — the two-pass numbers above decode the
+    # video twice, and decode is the host bottleneck at 1 core)
+    from gaitlab.pipeline import stream as stream_mod
+
+    for variant, runner in runners.items():
+        t0 = time.perf_counter()
+        res = stream_mod.run_video_onepass(runner, clip)
+        stages[f"onepass_{variant}"] = time.perf_counter() - t0
+        n1 = max(len(r["frames"]) for r in res.values()) if res else 0
+        log(f"onepass[{variant}]: {n1}-frame track, "
+            f"{stages[f'onepass_{variant}']:.1f}s "
+            f"({n / stages[f'onepass_{variant}']:.0f} fps)")
+
     # ---- device-bound variant: frames already in RAM ---------------------
     # isolates crop -> H2D -> forward -> D2H from host video decode (this
     # container has a single CPU core - see summary host_cores - so both
@@ -233,6 +248,8 @@ def main():
             "streaming_full": round(
                 e2e(0.0, stages["track_stream"],
                     stages["model_stream_full"], nts), 1),
+            "onepass_joints": round(n / stages["onepass_joints"], 1),
+            "onepass_full": round(n / stages["onepass_full"], 1),
         },
         "precision_mode": "high (0.24mm MPJPE worst-case, "
                           "docs/PRECISION.json)",
@@ -243,10 +260,10 @@ def main():
     log(json.dumps(summary, indent=2))
     print(json.dumps({
         "metric": "e2e_video_to_joints_fps_per_chip",
-        "value": summary["e2e_fps"]["streaming_joints"],
+        "value": summary["e2e_fps"]["onepass_joints"],
         "unit": "frames/s",
         "vs_baseline": round(
-            summary["e2e_fps"]["streaming_joints"] / 300.0, 3),
+            summary["e2e_fps"]["onepass_joints"] / 300.0, 3),
     }))
 
 

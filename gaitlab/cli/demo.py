@@ -84,6 +84,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "--no rendering/display: combine with "
                         "--save_vid off (pass --save_vid) or it falls "
                         "back to the folder pipeline.")
+    p.add_argument("--onepass", action="store_true",
+                   help="single-decode pipeline (extension flag): detect, "
+                        "track, crop and run the model in ONE streaming "
+                        "pass over the video (gaitlab.pipeline.stream) — "
+                        "~2x sustained fps on decode-bound hosts. Implies "
+                        "--stream semantics; no smooth_tracking gap "
+                        "interpolation (SORT output is used as-is).")
     return p
 
 
@@ -172,10 +179,57 @@ def run_tracking(args, image_folder, video_file=None):
     return tracks.smooth_tracking(tracking_results)
 
 
-def main(args):
+def _person_output(out, bboxes, frames, person_id, args, model,
+                   orig_width, orig_height) -> dict:
+    """run_track-style outputs -> reference pkl entry (demo.py:211-229):
+    optional 1-euro smoothing, crop->image coordinate conversion, skeleton
+    format conversion."""
     from gaitlab.body.joints import convert_kps
+    from gaitlab.pipeline import coords, smoothing
+
+    pred_cam, pred_verts = out["pred_cam"], out["verts"]
+    pred_pose, pred_betas = out["pose"], out["betas"]
+    pred_joints3d, smpl_joints2d = out["joints3d"], out["joints2d"]
+
+    if args.smooth:
+        print(f"Running smoothing on person {person_id}, "
+              f"min_cutoff: {args.smooth_min_cutoff}, "
+              f"beta: {args.smooth_beta}")
+        pred_verts, pred_pose, pred_joints3d = smoothing.smooth_pose(
+            pred_pose, pred_betas, smpl_params=model.smpl,
+            min_cutoff=args.smooth_min_cutoff, beta=args.smooth_beta)
+
+    orig_cam = coords.convert_crop_cam_to_orig_img(
+        pred_cam, bboxes, orig_width, orig_height)
+    joints2d_img = coords.convert_crop_coords_to_orig_img(
+        bboxes, smpl_joints2d, crop_size=224)
+
+    output_dict = {
+        "pred_cam": pred_cam,
+        "orig_cam": orig_cam,
+        "verts": pred_verts,
+        "pose": pred_pose,
+        "betas": pred_betas,
+        "joints3d": pred_joints3d,
+        "joints2d": joints2d_img,
+        "bboxes": bboxes,
+        "frame_ids": frames,
+    }
+    if args.joint_type != "spin":
+        # model emits spin2 (29 joints); reference converts to the
+        # requested skeleton (demo.py:224-229 says 'spin' but the
+        # kinectv2-mode SMPL yields spin2 — SURVEY.md §2A defect note).
+        try:
+            output_dict["joints3d"] = convert_kps(
+                pred_joints3d, "spin2", args.joint_type)
+        except KeyError:
+            print(f"Unknown skeleton type: {args.joint_type}.")
+    return output_dict
+
+
+def main(args):
     from gaitlab.config import parse_args
-    from gaitlab.pipeline import coords, smoothing, video
+    from gaitlab.pipeline import video
     from gaitlab.pipeline.runner import GRNetRunner
     from gaitlab.utils import StageTimer, profile_trace
 
@@ -199,12 +253,14 @@ def main(args):
     )
     os.makedirs(output_path, exist_ok=True)
 
-    stream = bool(args.stream) and not args.img_folder
+    onepass = (bool(args.onepass) and not args.img_folder
+               and not args.tracking_path)
+    stream = (bool(args.stream) or onepass) and not args.img_folder
     if stream and (args.save_vid or args.mesh_render or args.display):
-        print("WARNING: --stream needs rendering/display off (pass "
-              "--save_vid to disable video output); using the frame-folder "
-              "pipeline.")
-        stream = False
+        print("WARNING: --stream/--onepass need rendering/display off "
+              "(pass --save_vid to disable video output); using the "
+              "frame-folder pipeline.")
+        stream = onepass = False
 
     if args.img_folder:
         image_folder = args.img_folder
@@ -225,6 +281,39 @@ def main(args):
         orig_height, orig_width = img_shape[:2]
 
     print(f"Input video number of frames {num_frames}")
+
+    if onepass:
+        # single-decode pipeline: detect + track + crop + model in one
+        # streaming pass over the video (gaitlab.pipeline.stream)
+        from gaitlab.pipeline import detect
+        from gaitlab.pipeline import stream as stream_mod
+
+        model = load_model(args, cfg)
+        runner = GRNetRunner(model, bbox_scale=1.0)
+        grnet_time = time.time()
+        profile_ctx = profile_trace()
+        profile_ctx.__enter__()
+        with timer.stage("onepass"):
+            res = stream_mod.run_video_onepass(
+                runner, video_file, detector=detect.get_detector(args.detector))
+        grnet_results = {}
+        num_frames_list = sorted(len(r["frames"]) for r in res.values())
+        for person_id, out in res.items():
+            grnet_results[person_id] = _person_output(
+                out, out["bboxes"], out["frames"], person_id, args, model,
+                orig_width, orig_height)
+        profile_ctx.__exit__(None, None, None)
+        timer.stages["model"] = time.time() - grnet_time
+        fps = len(num_frames_list) / (time.time() - grnet_time)
+        print(f"VIBE FPS: {fps:.2f}")
+        t = time.time() - total_time
+        print(f"Total time spent: {t:.2f} seconds "
+              f"(including model loading time).")
+        print(f"Total FPS (including model loading time): "
+              f"{len(num_frames_list) / t:.2f}.")
+        return _save_and_render(args, grnet_results, num_frames_list,
+                                image_folder, output_path, video_file,
+                                model, timer, orig_width, orig_height)
 
     with timer.stage("tracking"):
         tracking_results, num_frames_list = run_tracking(
@@ -252,44 +341,9 @@ def main(args):
             source = list(image_files[frames])
 
         out = runner.run_track(source, bboxes)
-        pred_cam, pred_verts = out["pred_cam"], out["verts"]
-        pred_pose, pred_betas = out["pose"], out["betas"]
-        pred_joints3d, smpl_joints2d = out["joints3d"], out["joints2d"]
-
-        if args.smooth:
-            print(f"Running smoothing on person {person_id}, "
-                  f"min_cutoff: {args.smooth_min_cutoff}, "
-                  f"beta: {args.smooth_beta}")
-            pred_verts, pred_pose, pred_joints3d = smoothing.smooth_pose(
-                pred_pose, pred_betas, smpl_params=model.smpl,
-                min_cutoff=args.smooth_min_cutoff, beta=args.smooth_beta)
-
-        orig_cam = coords.convert_crop_cam_to_orig_img(
-            pred_cam, bboxes, orig_width, orig_height)
-        joints2d_img = coords.convert_crop_coords_to_orig_img(
-            bboxes, smpl_joints2d, crop_size=224)
-
-        output_dict = {
-            "pred_cam": pred_cam,
-            "orig_cam": orig_cam,
-            "verts": pred_verts,
-            "pose": pred_pose,
-            "betas": pred_betas,
-            "joints3d": pred_joints3d,
-            "joints2d": joints2d_img,
-            "bboxes": bboxes,
-            "frame_ids": frames,
-        }
-        if args.joint_type != "spin":
-            # model emits spin2 (29 joints); reference converts to the
-            # requested skeleton (demo.py:224-229 says 'spin' but the
-            # kinectv2-mode SMPL yields spin2 — SURVEY.md §2A defect note).
-            try:
-                output_dict["joints3d"] = convert_kps(
-                    pred_joints3d, "spin2", args.joint_type)
-            except KeyError:
-                print(f"Unknown skeleton type: {args.joint_type}.")
-        grnet_results[person_id] = output_dict
+        grnet_results[person_id] = _person_output(
+            out, bboxes, frames, person_id, args, model,
+            orig_width, orig_height)
 
     profile_ctx.__exit__(None, None, None)
     timer.stages["model"] = time.time() - grnet_time
@@ -300,6 +354,16 @@ def main(args):
     print(f"Total FPS (including model loading time): "
           f"{len(num_frames_list) / t:.2f}.")
 
+    return _save_and_render(args, grnet_results, num_frames_list,
+                            image_folder, output_path, video_file,
+                            model, timer, orig_width, orig_height)
+
+
+def _save_and_render(args, grnet_results, num_frames_list, image_folder,
+                     output_path, video_file, model, timer,
+                     orig_width, orig_height):
+    """Shared tail of the demo: pkl dump, --save_obj, overlay render,
+    frame-folder cleanup, stage-timing report (demo.py:255-387)."""
     ckpt_base = osp.basename(args.ckpt).split(".")[0] if args.ckpt else "grnet"
     pklname = ckpt_base + ".pkl"
     idx = sum(1 for f in os.listdir(output_path)

@@ -52,13 +52,22 @@ class HRNetCfg:
     stage4: StageCfg = None
     final_conv_kernel: int = 1
     num_joints: int = 24
+    # Evaluate stage branches with <= this many channels on the
+    # space-to-depth packed grid (layers.PackedBasicBlock): exactly the
+    # same dot products, ~4x better MXU lane utilization for the
+    # 56²x32 branch that dominates backbone time. 0 = off. Inference only
+    # (train=True always uses the standard blocks). Variable paths are
+    # identical either way, so weights are interchangeable.
+    pack_low_channel: int = 0
 
     @staticmethod
-    def w(width: int = 32, downsample: bool = False, use_conv: bool = True) -> "HRNetCfg":
+    def w(width: int = 32, downsample: bool = False, use_conv: bool = True,
+          pack_low_channel: int = 0) -> "HRNetCfg":
         return HRNetCfg(
             width=width,
             downsample=downsample,
             use_conv=use_conv,
+            pack_low_channel=pack_low_channel,
             stage2=StageCfg(1, 2, (4, 4), (width, width * 2), "BASIC"),
             stage3=StageCfg(4, 3, (4, 4, 4), (width, width * 2, width * 4), "BASIC"),
             stage4=StageCfg(3, 4, (4, 4, 4, 4),
@@ -122,13 +131,36 @@ class HighResolutionModule(nn.Module):
     num_inchannels: tuple  # per-branch channels (BASIC: == num_channels)
     num_channels: tuple
     multi_scale_output: bool = True
+    pack_low_channel: int = 0  # see HRNetCfg.pack_low_channel
 
     @nn.compact
     def __call__(self, xs: list, train: bool = False) -> list:
+        from gaitlab.nn.layers import (
+            PackedBasicBlock,
+            depth_to_space,
+            space_to_depth,
+        )
+
         # branches
         outs = []
         for i in range(self.num_branches):
             x = xs[i]
+            packable = (
+                not train
+                and self.num_channels[i] <= self.pack_low_channel
+                and self.num_inchannels[i] == self.num_channels[i]
+                and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
+            )
+            if packable:
+                # whole branch chain on the packed grid: one s2d/d2s pair
+                # per module, not per block
+                x = space_to_depth(x)
+                for b in range(self.num_blocks[i]):
+                    x = PackedBasicBlock(self.num_channels[i],
+                                         name=f"branches_{i}_{b}")(x)
+                x = depth_to_space(x)
+                outs.append(x)
+                continue
             for b in range(self.num_blocks[i]):
                 has_ds = b == 0 and self.num_inchannels[i] != self.num_channels[i]
                 x = BasicBlock(
@@ -231,6 +263,7 @@ class PoseHighResolutionNet(nn.Module):
                     num_blocks=tuple(scfg.num_blocks),
                     num_inchannels=tuple(a.shape[-1] for a in xs),
                     num_channels=chans,
+                    pack_low_channel=cfg.pack_low_channel,
                     name=f"{name}_{m}",
                 )(xs, train)
             return xs

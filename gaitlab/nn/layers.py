@@ -47,33 +47,38 @@ def upsample_nearest(x: Array, scale: int) -> Array:
     return jnp.repeat(x, scale, axis=2)
 
 
-def _align_corners_matrix(n_in: int, n_out: int, dtype) -> Array:
-    """(n_out, n_in) bilinear interpolation matrix with align_corners=True.
+def _align_corners_taps(n_in: int, n_out: int):
+    """Static (lo, hi, frac) gather taps for align_corners=True resize."""
+    import numpy as np
 
-    Expressing the resize as two small matmuls keeps it on the MXU and gives
-    bit-faithful torch `align_corners=True` semantics, which
-    jax.image.resize (half-pixel centers) does not.
-    """
     if n_out == 1:
-        w = jnp.zeros((1, n_in), dtype).at[0, 0].set(1.0)
-        return w
-    pos = jnp.arange(n_out, dtype=jnp.float32) * (n_in - 1) / (n_out - 1)
-    lo = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, n_in - 1)
-    hi = jnp.clip(lo + 1, 0, n_in - 1)
-    frac = pos - lo.astype(jnp.float32)
-    w = jnp.zeros((n_out, n_in), jnp.float32)
-    w = w.at[jnp.arange(n_out), lo].add(1.0 - frac)
-    w = w.at[jnp.arange(n_out), hi].add(frac)
-    return w.astype(dtype)
+        return (np.zeros(1, np.int32), np.zeros(1, np.int32),
+                np.zeros(1, np.float32))
+    pos = np.arange(n_out, dtype=np.float64) * (n_in - 1) / (n_out - 1)
+    lo = np.clip(np.floor(pos).astype(np.int32), 0, n_in - 1)
+    hi = np.minimum(lo + 1, n_in - 1)
+    frac = (pos - lo).astype(np.float32)
+    return lo, hi, frac
 
 
 def upsample_bilinear_align_corners(x: Array, out_h: int, out_w: int) -> Array:
-    """NHWC bilinear resize matching torch align_corners=True."""
+    """NHWC bilinear resize matching torch align_corners=True.
+
+    Interpolation has at most two taps per output row/column, so it runs
+    as STATIC gathers + a lerp — exact f32 math on the VPU. (The previous
+    dense-matmul form needed 6-pass HIGHEST matmul precision for the same
+    exactness and cost ~10 GMACs per 128-frame batch in the HRNet upsample
+    heads.)
+    """
     n, h, w, c = x.shape
-    Wh = _align_corners_matrix(h, out_h, x.dtype)
-    Ww = _align_corners_matrix(w, out_w, x.dtype)
-    x = jnp.einsum("oh,nhwc->nowc", Wh, x, precision=jax.lax.Precision.HIGHEST)
-    x = jnp.einsum("ow,nhwc->nhoc", Ww, x, precision=jax.lax.Precision.HIGHEST)
+    lo_h, hi_h, f_h = _align_corners_taps(h, out_h)
+    lo_w, hi_w, f_w = _align_corners_taps(w, out_w)
+    f_h = jnp.asarray(f_h, x.dtype)[None, :, None, None]
+    f_w = jnp.asarray(f_w, x.dtype)[None, None, :, None]
+    x = jnp.take(x, lo_h, axis=1) * (1 - f_h) \
+        + jnp.take(x, hi_h, axis=1) * f_h
+    x = jnp.take(x, lo_w, axis=2) * (1 - f_w) \
+        + jnp.take(x, hi_w, axis=2) * f_w
     return x
 
 
@@ -128,3 +133,142 @@ def keypoint_attention(features: Array, heatmaps: Array, act: str = "softmax",
     feat = features.reshape(b, h * w, c)
     return jnp.einsum("bpj,bpc->bjc", attn, feat,
                       precision=jax.lax.Precision.HIGHEST)
+
+
+# ---------------------------------------------------------------------------
+# Space-to-depth channel packing for low-channel convolutions
+# ---------------------------------------------------------------------------
+# The TPU MXU is a 128x128 systolic array: a conv with 32 output channels
+# uses 32 of 128 result lanes (~25% peak). HRNet's highest-resolution
+# branch is exactly that shape (56x56x32, reference hrnet.py:595-607), and
+# it dominates backbone compute time. Packing 2x2 spatial phases into the
+# channel dim turns conv3x3@56²x32 into conv3x3@28²x128 — the SAME dot
+# products (the packed kernel is zero-structured, so every nonzero
+# multiply-add is one of the original ones and numerics are preserved up
+# to f32 accumulation order) at 4x MXU lane utilization for 2x the nominal
+# MACs: net ~2x faster where the conv is MXU-bound (the 3x-pass "high"
+# precision production mode).
+
+def space_to_depth(x: Array, f: int = 2) -> Array:
+    """NHWC (N,H,W,C) -> (N,H/f,W/f,f²C); channel index = (qy*f+qx)*C + c."""
+    n, h, w, c = x.shape
+    assert h % f == 0 and w % f == 0, (h, w, f)
+    x = x.reshape(n, h // f, f, w // f, f, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(n, h // f, w // f, f * f * c)
+
+
+def depth_to_space(x: Array, f: int = 2) -> Array:
+    """Inverse of space_to_depth (same phase-major channel convention)."""
+    n, h, w, cc = x.shape
+    c = cc // (f * f)
+    x = x.reshape(n, h, w, f, f, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(n, h * f, w * f, c)
+
+
+def packed_conv3x3_kernel(w: Array) -> Array:
+    """(3,3,C,K) stride-1 pad-1 conv kernel -> its space-to-depth
+    equivalent (3,3,4C,4K) on the f=2 packed grid (pad-1 there too).
+
+    Derivation: output pixel (2i+py, 2j+px) reads input (2i+py+dy, …) for
+    dy ∈ {-1,0,1}; on the packed grid that is row i+di with phase qy where
+    dy = 2·di + qy - py, so tap (di,dj,q→p) carries w[dy,dx] iff
+    |2·di+qy-py| <= 1 (and likewise for x). Zero-padding the packed grid by
+    one reproduces the original one-pixel zero pad exactly (taps that would
+    reach two original pixels out of bounds have zero weight).
+    """
+    c, k = w.shape[2], w.shape[3]
+    out = jnp.zeros((3, 3, 4 * c, 4 * k), w.dtype)
+    for di in (-1, 0, 1):
+        for dj in (-1, 0, 1):
+            for py in (0, 1):
+                for px in (0, 1):
+                    for qy in (0, 1):
+                        for qx in (0, 1):
+                            dy = 2 * di + qy - py
+                            dx = 2 * dj + qx - px
+                            if abs(dy) > 1 or abs(dx) > 1:
+                                continue
+                            qi = (qy * 2 + qx) * c
+                            pi = (py * 2 + px) * k
+                            out = out.at[
+                                di + 1, dj + 1, qi : qi + c, pi : pi + k
+                            ].set(w[dy + 1, dx + 1])
+    return out
+
+
+class _ConvKernel(nn.Module):
+    """Param-only stand-in for `conv(features, 3)`: declares the identical
+    'kernel' parameter (name, shape, init) and returns it raw, so a caller
+    can apply it in packed form. Variable paths match nn.Conv exactly."""
+
+    features: int
+    in_features: int
+    kernel: int = 3
+
+    @nn.compact
+    def __call__(self) -> Array:
+        return self.param(
+            "kernel", nn.linear.default_kernel_init,
+            (self.kernel, self.kernel, self.in_features, self.features))
+
+
+class _BNParams(nn.Module):
+    """Param-only stand-in for `batch_norm(train=False)`: identical
+    'scale'/'bias' params and 'mean'/'var' batch_stats as nn.BatchNorm."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        mean = self.variable("batch_stats", "mean",
+                             lambda: jnp.zeros((self.features,), jnp.float32))
+        var = self.variable("batch_stats", "var",
+                            lambda: jnp.ones((self.features,), jnp.float32))
+        return scale, bias, mean.value, var.value
+
+
+class PackedBasicBlock(nn.Module):
+    """BasicBlock evaluated on the space-to-depth packed grid.
+
+    Declares the SAME variables (paths, shapes, inits) as the standard
+    BasicBlock — torch weight import is untouched — and packs kernels/BN
+    params in-graph (a sub-MB scatter per call, negligible next to the
+    conv). Inference only (running-stats BN); stride 1, no downsample
+    branch (the eligible HRNet branches have neither).
+    """
+
+    planes: int
+    f: int = 2
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        ff = self.f * self.f
+        assert x.shape[-1] == ff * self.planes, (x.shape, self.planes)
+        p = self.planes
+
+        def packed_conv(z, w):
+            return jax.lax.conv_general_dilated(
+                z, packed_conv3x3_kernel(w.astype(z.dtype)),
+                window_strides=(1, 1), padding=((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+        def packed_bn(z, bn):
+            scale, bias, mean, var = bn
+            inv = (jax.lax.rsqrt(var + BN_EPS) * scale).astype(z.dtype)
+            return (z - jnp.tile(mean.astype(z.dtype), ff)) \
+                * jnp.tile(inv, ff) + jnp.tile(bias.astype(z.dtype), ff)
+
+        w1 = _ConvKernel(p, p, name="conv1")()
+        bn1 = _BNParams(p, name="bn1")()
+        w2 = _ConvKernel(p, p, name="conv2")()
+        bn2 = _BNParams(p, name="bn2")()
+        out = packed_conv(x, w1)
+        out = packed_bn(out, bn1)
+        out = nn.relu(out)
+        out = packed_conv(out, w2)
+        out = packed_bn(out, bn2)
+        return nn.relu(out + x)

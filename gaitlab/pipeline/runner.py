@@ -143,17 +143,42 @@ class GRNetRunner:
         self._fwd_cache[key] = jfwd
         return jfwd
 
+    def _device_tree(self, tree):
+        """Pin a pytree on the accelerator (replicated over the mesh).
+
+        Model variables restored from the Orbax init/weight cache are host
+        numpy; passing them to jit per call re-uploads ~250 MB of weights
+        through the (slow, tunneled) H2D link on EVERY dispatch — measured
+        ~4 s/dispatch vs ~0.1 s compute at bucket 256. One device_put here
+        makes every later dispatch reuse the resident copy."""
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            return jax.device_put(tree, NamedSharding(self.mesh, P()))
+        return jax.device_put(tree)
+
+    def _smpl_params(self):
+        """SMPL parameter pytree, device-resident (cached)."""
+        if getattr(self, "_smpl_dev", None) is None:
+            self._smpl_dev = self._device_tree(self.model.smpl)
+        return self._smpl_dev
+
     def _trunk_variables(self):
-        """Model variables, pre-cast once when a trunk dtype is set."""
-        if not self.trunk_dtype:
-            return self.model.variables
-        if getattr(self, "_cast_vars", None) is None:
-            dt = jnp.dtype(self.trunk_dtype)
-            cast = lambda x: (x.astype(dt)
-                              if jnp.issubdtype(x.dtype, jnp.floating) else x)
-            self._cast_vars = jax.tree_util.tree_map(
-                cast, self.model.variables)
-        return self._cast_vars
+        """Model variables, device-resident; pre-cast once when a trunk
+        dtype is set. Refreshes if model.variables is reassigned (e.g.
+        weight reload through the api)."""
+        if getattr(self, "_dev_vars_src", None) is not id(self.model.variables):
+            self._dev_vars = None
+            self._dev_vars_src = id(self.model.variables)
+        if getattr(self, "_dev_vars", None) is None:
+            variables = self.model.variables
+            if self.trunk_dtype:
+                dt = jnp.dtype(self.trunk_dtype)
+                cast = lambda x: (x.astype(dt) if jnp.issubdtype(
+                    x.dtype, jnp.floating) else x)
+                variables = jax.tree_util.tree_map(cast, variables)
+            self._dev_vars = self._device_tree(variables)
+        return self._dev_vars
 
     def _bucket(self, n: int) -> int:
         i = bisect.bisect_left(self.buckets, n)
@@ -168,8 +193,20 @@ class GRNetRunner:
         """
         return self._forward_stream(iter([crops]), bbox=bbox, cimg=cimg)
 
+    def open_stream(self, bbox=None, cimg=None) -> "ForwardStream":
+        """Open an incremental inference session.
+
+        One-pass pipelines (decode -> detect -> track -> crop -> model with
+        a SINGLE video read) feed crop chunks as they become available and
+        call finish() once at the end; forwards dispatch as full buckets
+        accumulate, and outputs stay on device until finish(). bbox/cimg
+        may be given upfront (full arrays, row i for frame i) or per feed()
+        call (rows aligned with that chunk) for the gait branch.
+        """
+        return ForwardStream(self, bbox=bbox, cimg=cimg)
+
     def _forward_stream(self, crop_chunks, bbox=None, cimg=None) -> dict:
-        """Streaming core: device crop chunks -> bucketed jitted forwards.
+        """Streaming core: crop chunks -> bucketed jitted forwards.
 
         Forwards are *dispatched* as soon as a full bucket of crops has
         accumulated and all outputs stay on device until the stream ends —
@@ -178,73 +215,10 @@ class GRNetRunner:
         every crop before the first forward and fetched outputs per
         bucket, stalling the device on each readback).
         """
-        gait = self.model.module.use_gait_feat
-        max_b = self.buckets[-1]
-        variables = self._trunk_variables()
-        smpl = self.model.smpl
-
-        def pad_to(arr, m, b):
-            # host (numpy) chunks pad on host — eager device pads cost a
-            # dispatch round trip each through a tunneled accelerator
-            if arr is None or m == b:
-                return arr
-            xp = np if isinstance(arr, np.ndarray) else jnp
-            rep = xp.broadcast_to(arr[-1:], (b - m,) + tuple(arr.shape[1:]))
-            return xp.concatenate([arr, rep], axis=0)
-
-        outs: list[dict] = []
-        lengths: list[int] = []
-
-        def dispatch(piece, m, start):
-            b = self._bucket(m)
-            raw = isinstance(piece, np.ndarray)
-            piece = pad_to(piece, m, b)
-            bb = pad_to(np.asarray(bbox[start : start + m], np.float32)
-                        if bbox is not None else None, m, b)
-            ci = pad_to(np.asarray(cimg[start : start + m], np.float32)
-                        if cimg is not None else None, m, b)
-            nv = np.int32(m) if gait else None
-            outs.append(self._forward(b, raw_uint8=raw)(
-                variables, smpl, piece, bb, ci, nv))
-            lengths.append(m)
-
-        buf: list = []
-        buffered = 0
-        start = 0
+        session = self.open_stream(bbox=bbox, cimg=cimg)
         for chunk in crop_chunks:
-            buf.append(chunk)
-            buffered += chunk.shape[0]
-            while buffered >= max_b:
-                xp = np if isinstance(buf[0], np.ndarray) else jnp
-                cat = buf[0] if len(buf) == 1 else xp.concatenate(buf, 0)
-                dispatch(cat[:max_b], max_b, start)
-                start += max_b
-                buffered -= max_b
-                buf = [cat[max_b:]] if buffered else []
-        if buffered:
-            xp = np if isinstance(buf[0], np.ndarray) else jnp
-            cat = buf[0] if len(buf) == 1 else xp.concatenate(buf, 0)
-            dispatch(cat, buffered, start)
-
-        # single readback pass after the full pipeline is queued; only the
-        # requested keys cross the (slow) D2H link
-        want = None if self.fetch is None else set(self.fetch) | {
-            "pred_avg", "pred_phase"}
-        fetched = [{k: (np.asarray(v[:m]) if k != "pred_avg"
-                        else np.asarray(v)) for k, v in out.items()
-                    if want is None or k in want}
-                   for out, m in zip(outs, lengths)]
-        merged = {}
-        for k in fetched[0]:
-            if k == "pred_avg":
-                # per-chunk track-level estimate: average, weighted by how
-                # many real frames each chunk holds (the tail chunk may be
-                # mostly padding)
-                merged[k] = np.average([o[k][0] for o in fetched], axis=0,
-                                       weights=lengths)
-            else:
-                merged[k] = np.concatenate([o[k] for o in fetched], axis=0)
-        return merged
+            session.feed(chunk)
+        return session.finish()
 
     # -- full track ----------------------------------------------------------
 
@@ -300,7 +274,7 @@ class GRNetRunner:
         (img_utils.py:90-113). Normalization happens inside the jitted
         forward (raw_uint8 path), so the device sees one H2D + one
         program per bucket."""
-        from concurrent.futures import ThreadPoolExecutor
+        import os
 
         cs = self.crop_size
         out = np.empty((len(chunk), cs, cs, 3), np.uint8)
@@ -311,8 +285,18 @@ class GRNetRunner:
                 chunk[i], bb[0], bb[1], bb[2], bb[3], cs, cs, scale=scale)
             out[i] = patch
 
+        # pool sized to the host: oversubscribing a small host (this
+        # container has ONE core) costs ~4x in scheduler contention vs the
+        # plain loop (measured 219 -> 968 fps single-core)
+        workers = min(8, os.cpu_count() or 1)
+        if workers <= 1:
+            for i in range(len(chunk)):
+                one(i)
+            return out
+        from concurrent.futures import ThreadPoolExecutor
+
         if getattr(self, "_crop_pool", None) is None:
-            self._crop_pool = ThreadPoolExecutor(max_workers=8)
+            self._crop_pool = ThreadPoolExecutor(max_workers=workers)
         list(self._crop_pool.map(one, range(len(chunk))))
         return out
 
@@ -361,3 +345,121 @@ class GRNetRunner:
             if src in out:
                 result[dst] = out[src]
         return result
+
+
+class ForwardStream:
+    """Incremental bucketed-forward session (GRNetRunner.open_stream).
+
+    feed() accepts crop chunks — host uint8 (raw path, normalized in-graph)
+    or device-normalized f32 — plus optional aligned bbox/cimg rows for the
+    gait branch; a jitted forward dispatches whenever a full max-size
+    bucket has accumulated, overlapping host decode/crop with device
+    compute. finish() dispatches the tail, performs ONE readback pass of
+    the requested output keys, and merges.
+    """
+
+    def __init__(self, runner: GRNetRunner, bbox=None, cimg=None):
+        self.runner = runner
+        self.gait = runner.model.module.use_gait_feat
+        self.max_b = runner.buckets[-1]
+        self._variables = runner._trunk_variables()
+        self._smpl = runner._smpl_params()
+        self._bbox_full = bbox
+        self._cimg_full = cimg
+        self._buf: list = []
+        self._bb_buf: list = []
+        self._ci_buf: list = []
+        self._buffered = 0
+        self._start = 0
+        self._outs: list = []
+        self._lengths: list = []
+        self._done = False
+
+    @staticmethod
+    def _pad_to(arr, m: int, b: int):
+        # host (numpy) chunks pad on host — eager device pads cost a
+        # dispatch round trip each through a tunneled accelerator
+        if arr is None or m == b:
+            return arr
+        xp = np if isinstance(arr, np.ndarray) else jnp
+        rep = xp.broadcast_to(arr[-1:], (b - m,) + tuple(arr.shape[1:]))
+        return xp.concatenate([arr, rep], axis=0)
+
+    def _take_rows(self, full, bufs: list, m: int):
+        """Next m bbox/cimg rows: from the upfront array or feed buffers."""
+        if full is not None:
+            return np.asarray(full[self._start : self._start + m],
+                              np.float32)
+        if not bufs:
+            return None
+        cat = bufs[0] if len(bufs) == 1 else np.concatenate(bufs, axis=0)
+        assert len(cat) >= m, (len(cat), m, "bbox/cimg rows lag crop feed")
+        bufs.clear()
+        if len(cat) > m:
+            bufs.append(cat[m:])
+        return np.asarray(cat[:m], np.float32)
+
+    def _dispatch(self, piece, m: int):
+        r = self.runner
+        b = r._bucket(m)
+        raw = isinstance(piece, np.ndarray)
+        piece = self._pad_to(piece, m, b)
+        bb = self._pad_to(self._take_rows(self._bbox_full, self._bb_buf, m),
+                          m, b)
+        ci = self._pad_to(self._take_rows(self._cimg_full, self._ci_buf, m),
+                          m, b)
+        nv = np.int32(m) if self.gait else None
+        self._outs.append(r._forward(b, raw_uint8=raw)(
+            self._variables, self._smpl, piece, bb, ci, nv))
+        self._lengths.append(m)
+        self._start += m
+
+    def feed(self, chunk, bbox=None, cimg=None) -> None:
+        """Add a crop chunk (and, for the gait branch when bbox/cimg were
+        not given upfront, the aligned per-frame rows)."""
+        assert not self._done, "feed() after finish()"
+        self._buf.append(chunk)
+        self._buffered += chunk.shape[0]
+        if bbox is not None:
+            self._bb_buf.append(np.asarray(bbox, np.float32))
+        if cimg is not None:
+            self._ci_buf.append(np.asarray(cimg, np.float32))
+        while self._buffered >= self.max_b:
+            xp = np if isinstance(self._buf[0], np.ndarray) else jnp
+            cat = (self._buf[0] if len(self._buf) == 1
+                   else xp.concatenate(self._buf, axis=0))
+            self._dispatch(cat[: self.max_b], self.max_b)
+            self._buffered -= self.max_b
+            self._buf = [cat[self.max_b :]] if self._buffered else []
+
+    def finish(self) -> dict:
+        """Dispatch the tail, read back the requested keys once, merge."""
+        assert not self._done, "finish() called twice"
+        self._done = True
+        if self._buffered:
+            xp = np if isinstance(self._buf[0], np.ndarray) else jnp
+            cat = (self._buf[0] if len(self._buf) == 1
+                   else xp.concatenate(self._buf, axis=0))
+            self._dispatch(cat, self._buffered)
+            self._buf = []
+        # single readback pass after the full pipeline is queued; only the
+        # requested keys cross the (slow) D2H link
+        fetch = self.runner.fetch
+        want = None if fetch is None else set(fetch) | {
+            "pred_avg", "pred_phase"}
+        fetched = [{k: (np.asarray(v[:m]) if k != "pred_avg"
+                        else np.asarray(v)) for k, v in out.items()
+                    if want is None or k in want}
+                   for out, m in zip(self._outs, self._lengths)]
+        self._outs = []
+        merged = {}
+        for k in fetched[0]:
+            if k == "pred_avg":
+                # per-chunk track-level estimate: average, weighted by how
+                # many real frames each chunk holds (the tail chunk may be
+                # mostly padding)
+                merged[k] = np.average([o[k][0] for o in fetched], axis=0,
+                                       weights=self._lengths)
+            else:
+                merged[k] = np.concatenate([o[k] for o in fetched], axis=0)
+        return merged

@@ -1,0 +1,160 @@
+"""One-pass video pipeline: decode -> detect -> track -> crop -> model,
+with a SINGLE video read.
+
+The reference architecture (/root/reference/demo.py:65-188) decodes the
+video twice — once for detection+tracking (MPT over the frame folder) and
+once for the per-track model loop (Inference re-reads the cropped frames).
+On a TPU host the video decode is pure host CPU work and often the
+end-to-end bottleneck (this container: ONE host core, ~50 fps 1080p
+decode), so decoding twice halves sustained throughput.
+
+SORT is causal (gaitlab.pipeline.tracks.Sort.update is per-frame), so
+detection, tracking, cropping, and the bucketed jitted forward can all run
+in ONE streaming pass: each decoded chunk is detected, track assignments
+update incrementally, per-track 224-crops buffer until the track proves
+long enough (MIN_NUM_FRAMES, demo.py:41), and from then on crops feed a
+GRNetRunner.open_stream() session whose forwards dispatch asynchronously —
+host decode of chunk i+1 overlaps device compute of chunk i.
+
+Semantic differences vs the two-pass demo path (documented, intentional):
+  * no smooth_tracking gap interpolation (tracks are used as SORT emits
+    them; SORT already rides through `max_age` missed frames);
+  * the median-background detector, when not pre-fit, calibrates on the
+    first `fit_frames` decoded frames instead of a whole-video sample.
+Use the two-pass CLI path when reference-exact tracking is required.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from gaitlab.pipeline import tracks as tracks_mod
+from gaitlab.pipeline import video as video_mod
+from gaitlab.pipeline.runner import GRNetRunner
+from gaitlab.pipeline.tracks import MIN_NUM_FRAMES, xyxy_to_cxcywh_square
+
+
+class _TrackState:
+    """Per-person accumulation: buffered crops until the track qualifies,
+    then a live ForwardStream session."""
+
+    __slots__ = ("frames", "bboxes", "crop_buf", "session")
+
+    def __init__(self):
+        self.frames: list[int] = []
+        self.bboxes: list[np.ndarray] = []
+        self.crop_buf: list[np.ndarray] = []  # uint8 (224,224,3) host crops
+        self.session = None
+
+
+def run_video_onepass(
+    runner: GRNetRunner,
+    vid_file: str,
+    detector=None,
+    chunk: int = 32,
+    min_frames: int = MIN_NUM_FRAMES,
+    bbox_scale: float = 1.0,
+    fit_frames: int = 64,
+    max_age: int = 1,
+    min_hits: int = 3,
+    iou_threshold: float = 0.3,
+) -> dict:
+    """Single-decode video -> per-track model outputs.
+
+    Returns {person_id: run_track-style output dict + 'frames' (N,) int +
+    'bboxes' (N,4) cxcywh}. Tracks shorter than `min_frames` are dropped
+    (reference MIN_NUM_FRAMES gate, demo.py:41,100-103).
+    """
+    if detector is None:
+        from gaitlab.pipeline.detect import MedianBackgroundDetector
+
+        detector = MedianBackgroundDetector()
+
+    reader = video_mod.VideoChunkReader(vid_file, chunk=chunk)
+    h, w = reader.image_hw
+    gait = runner.model.module.use_gait_feat
+    cimg_row = np.array([w * 0.5, h * 0.5], np.float32)
+
+    sort = tracks_mod.Sort(max_age=max_age, min_hits=min_hits,
+                           iou_threshold=iou_threshold)
+    states: dict[int, _TrackState] = {}
+    frame_base = 0
+    fit_buf: list[np.ndarray] = []
+    fitted = getattr(detector, "background", None) is not None
+
+    def open_or_feed(pid: int, st: _TrackState):
+        """Qualify + stream: once a track reaches min_frames, open its
+        session, flush the buffer, and keep feeding incrementally."""
+        if st.session is None:
+            if len(st.frames) < min_frames:
+                return
+            st.session = runner.open_stream()
+        if st.crop_buf:
+            crops = np.stack(st.crop_buf)
+            n = len(crops)
+            bb = ci = None
+            if gait:
+                bb = np.asarray(st.bboxes[-n:], np.float32)
+                ci = np.broadcast_to(cimg_row, (n, 2))
+            st.session.feed(crops, bbox=bb, cimg=ci)
+            st.crop_buf = []
+
+    def process(frames: np.ndarray):
+        nonlocal frame_base
+        dets_per_frame = detector(frames)
+        for i, dets in enumerate(dets_per_frame):
+            rows = sort.update(dets)
+            fidx = frame_base + i
+            for row in rows:
+                pid = int(row[4])
+                st = states.setdefault(pid, _TrackState())
+                bb = xyxy_to_cxcywh_square(row[:4], bbox_scale)
+                st.frames.append(fidx)
+                st.bboxes.append(bb)
+                crop = runner._host_crop(frames[i : i + 1],
+                                         bb[None], runner.bbox_scale)[0]
+                st.crop_buf.append(crop)
+        # flush once per decoded chunk: feed() buffers until a full bucket,
+        # so per-frame flushes would only add numpy-stack overhead
+        for pid in list(states):
+            open_or_feed(pid, states[pid])
+        frame_base += len(frames)
+
+    for frames in reader:
+        if not fitted and hasattr(detector, "fit"):
+            # calibrate the background model on the first fit_frames
+            fit_buf.append(frames)
+            if sum(len(c) for c in fit_buf) >= fit_frames:
+                detector.fit(np.concatenate(fit_buf, axis=0))
+                fitted = True
+                process(np.concatenate(fit_buf, axis=0))
+                fit_buf = []
+            continue
+        process(frames)
+    if fit_buf:
+        # clip shorter than fit_frames: calibrate on what there is
+        detector.fit(np.concatenate(fit_buf, axis=0))
+        process(np.concatenate(fit_buf, axis=0))
+
+    results = {}
+    for pid, st in states.items():
+        if st.session is None:
+            continue  # never qualified: dropped like demo.py:100-103
+        open_or_feed(pid, st)
+        out = st.session.finish()
+        result = {}
+        if "theta" in out:
+            result["pred_cam"] = out["theta"][:, :3]
+            result["pose"] = out["theta"][:, 3:75]
+            result["betas"] = out["theta"][:, 75:]
+        for src, dst in (("verts", "verts"), ("kp_3d", "joints3d"),
+                         ("kp_2d", "joints2d"), ("pred_avg", "pred_avg"),
+                         ("pred_phase", "pred_phase")):
+            if src in out:
+                result[dst] = out[src]
+        result["frames"] = np.asarray(st.frames, np.int64)
+        result["bboxes"] = np.asarray(st.bboxes, np.float32)
+        results[pid] = result
+    return results

@@ -1,0 +1,108 @@
+"""One-pass streaming pipeline tests (gaitlab.pipeline.stream).
+
+The single-decode architecture must produce the same per-track outputs as
+the two-pass detect-then-run_track flow on a deterministic synthetic clip,
+and the incremental ForwardStream session must match the one-shot
+forward_crops path exactly (same bucketing, same padding, same merge).
+"""
+
+import numpy as np
+import pytest
+
+from test_pipeline_e2e import make_synthetic_video
+
+
+def test_forward_stream_matches_batch(monkeypatch, tmp_path):
+    monkeypatch.setenv("GAITLAB_BUCKETS", "8,16")
+    from gaitlab.nn.grnet import GRNet
+    from gaitlab.pipeline.runner import GRNetRunner
+
+    model = GRNet.create()
+    runner = GRNetRunner(model, fetch=("theta", "kp_3d"))
+
+    rng = np.random.default_rng(3)
+    crops = rng.normal(size=(21, 224, 224, 3)).astype(np.float32)
+
+    batch = runner.forward_crops(crops)
+
+    session = runner.open_stream()
+    for s in (0, 5, 6, 13):  # ragged feeds crossing bucket boundaries
+        e = {0: 5, 5: 6, 6: 13, 13: 21}[s]
+        session.feed(crops[s:e])
+    inc = session.finish()
+
+    assert set(batch) == set(inc)
+    for k in batch:
+        np.testing.assert_allclose(batch[k], inc[k], rtol=0, atol=1e-6)
+    assert batch["theta"].shape[0] == 21
+
+
+@pytest.mark.slow
+def test_onepass_matches_twopass(monkeypatch, tmp_path):
+    monkeypatch.setenv("GAITLAB_BUCKETS", "32")
+    from gaitlab.nn.grnet import GRNet
+    from gaitlab.pipeline import detect, stream, tracks, video
+    from gaitlab.pipeline.runner import GRNetRunner
+
+    vid = str(tmp_path / "walk.mp4")
+    make_synthetic_video(vid, n=48)
+
+    model = GRNet.create()
+    runner = GRNetRunner(model, fetch=("theta", "kp_3d"), crop_on="host")
+
+    one = stream.run_video_onepass(runner, vid, fit_frames=48)
+    assert len(one) == 1, "synthetic single-person clip must yield 1 track"
+    res1 = next(iter(one.values()))
+    n = len(res1["frames"])
+    assert n >= 25
+    assert res1["joints3d"].shape[0] == n
+    assert res1["pose"].shape == (n, 72)
+
+    # two-pass reference flow over the same video, same detector model
+    frames_all = np.concatenate(
+        [c for c in video.VideoChunkReader(vid, chunk=16)], axis=0)
+    det = detect.MedianBackgroundDetector().fit(frames_all[:48])
+    tracking = tracks.track_video(det(frames_all))
+    pid = max(tracking, key=lambda k: len(tracking[k]["frames"]))
+    bb = tracking[pid]["bbox"]
+    fids = tracking[pid]["frames"]
+    res2 = runner.run_track(frames_all[fids], bb)
+
+    np.testing.assert_array_equal(res1["frames"], fids)
+    np.testing.assert_allclose(res1["bboxes"], bb, rtol=0, atol=1e-4)
+    np.testing.assert_allclose(res1["joints3d"], res2["joints3d"],
+                               rtol=0, atol=1e-5)
+    np.testing.assert_allclose(res1["pose"], res2["pose"], rtol=0, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_demo_cli_onepass(tmp_path, monkeypatch):
+    """--onepass end to end: single-decode pipeline, reference pkl schema."""
+    import joblib
+
+    monkeypatch.setenv("GAITLAB_BUCKETS", "64")
+    from gaitlab.cli import demo
+
+    vid = str(tmp_path / "walk.mp4")
+    make_synthetic_video(vid)
+    out_dir = str(tmp_path / "out")
+
+    args = demo.build_parser().parse_args([
+        "--vid_file", vid,
+        "--output_folder", out_dir,
+        "--onepass",
+        "--save_vid",  # store_false: disables video output (stream mode)
+        "--joint_type", "kinectv2",
+        "--detector", "median_bg",
+    ])
+    results = demo.main(args)
+    assert len(results) >= 1
+    person = next(iter(results.values()))
+    n = person["frame_ids"].shape[0]
+    assert n >= 25
+    assert person["pred_cam"].shape == (n, 3)
+    assert person["orig_cam"].shape == (n, 4)
+    assert person["joints3d"].shape == (n, 25, 3)  # kinectv2
+    assert person["bboxes"].shape == (n, 4)
+    pkls = [f for f in (tmp_path / "out").rglob("*.pkl")]
+    assert pkls and joblib.load(pkls[0]).keys() == results.keys()
