@@ -87,6 +87,32 @@ def main():
 
     stages: dict[str, float] = {}
 
+    # ---- host<->device link probe ----------------------------------------
+    # The tunneled v5e link runs ~30-40 MB/s BOTH directions (a bare
+    # device_put timing shows ~GB/s because it returns before the transfer
+    # completes — force materialization with a dependent reduce). The link,
+    # not the chip, bounds crop-fed throughput here: 224² uint8 crops are
+    # ~147 KB/frame. Record the measured bandwidth and implied ceiling so
+    # every number below carries its infrastructure context.
+    import jax.numpy as jnp
+
+    reduce_fn = jax.jit(lambda x: x.astype(jnp.float32).sum())
+    probe = np.random.default_rng(0).integers(
+        0, 255, size=(16, 1024, 1024), dtype=np.uint8)
+    float(reduce_fn(jax.device_put(probe[:1])))  # compile
+    t0 = time.perf_counter()
+    float(reduce_fn(jax.device_put(probe)))
+    h2d_mbps = 16.0 / (time.perf_counter() - t0)
+    dvc = jax.device_put(probe)
+    dvc.block_until_ready()
+    t0 = time.perf_counter()
+    np.asarray(dvc)
+    d2h_mbps = 16.0 / (time.perf_counter() - t0)
+    crop_bytes = 224 * 224 * 3
+    h2d_ceiling_fps = h2d_mbps * 1e6 / crop_bytes
+    log(f"link: H2D {h2d_mbps:.0f} MB/s, D2H {d2h_mbps:.0f} MB/s -> "
+        f"crop-feed ceiling {h2d_ceiling_fps:.0f} fps")
+
     # ---- 1. reference-compatible: video -> PNG folder (cached + timed) --
     folder = osp.join(CACHE, f"e2e_{N_FRAMES}_frames")
     decode_time_file = osp.join(folder, "_decode_seconds.json")
@@ -230,6 +256,8 @@ def main():
         "frames": n, "resolution": f"{W}x{H}",
         "device": str(dev.device_kind),
         "host_cores": os.cpu_count(),
+        "link_MBps": {"h2d": round(h2d_mbps, 1), "d2h": round(d2h_mbps, 1)},
+        "crop_feed_ceiling_fps": round(h2d_ceiling_fps, 1),
         "stages_s": {k: round(v, 2) for k, v in stages.items()},
         "model_mem_fps": {
             "joints": round(450 / stages["model_mem_joints"], 1),

@@ -42,8 +42,11 @@ class GRNetCore(nn.Module):
     num_features_smpl: int = 64
     backbone_width: int = 32
     # space-to-depth packing threshold for low-channel backbone branches
-    # (HRNetCfg.pack_low_channel): exact same math, ~2x faster 56² stage on
-    # the TPU MXU. Weights are interchangeable with the unpacked module.
+    # (HRNetCfg.pack_low_channel): exact same math, weights interchangeable
+    # with the unpacked module. MEASURED SLOWER on TPU v5e (scripts/
+    # pack_bench.py: 103->122 ms at "high" for pack=32) — XLA's native
+    # low-channel conv handling beats the naive MXU-lane model. Kept as a
+    # documented experiment; leave 0 in production.
     pack_low_channel: int = 0
     freeze_backbone: bool = True
     use_gait_feat: bool = False      # reference grnet.py:40 default False

@@ -54,10 +54,12 @@ class HRNetCfg:
     num_joints: int = 24
     # Evaluate stage branches with <= this many channels on the
     # space-to-depth packed grid (layers.PackedBasicBlock): exactly the
-    # same dot products, ~4x better MXU lane utilization for the
-    # 56²x32 branch that dominates backbone time. 0 = off. Inference only
-    # (train=True always uses the standard blocks). Variable paths are
-    # identical either way, so weights are interchangeable.
+    # same dot products (tests/test_packed_conv.py). 0 = off. Inference
+    # only (train=True always uses the standard blocks); weights are
+    # interchangeable either way. NOTE: measured SLOWER on TPU v5e at both
+    # "default" and "high" matmul precision (scripts/pack_bench.py) — XLA
+    # handles the low-channel convs better than the naive 32-of-128-lanes
+    # model predicts. Kept as a documented experiment.
     pack_low_channel: int = 0
 
     @staticmethod

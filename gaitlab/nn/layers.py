@@ -47,38 +47,35 @@ def upsample_nearest(x: Array, scale: int) -> Array:
     return jnp.repeat(x, scale, axis=2)
 
 
-def _align_corners_taps(n_in: int, n_out: int):
-    """Static (lo, hi, frac) gather taps for align_corners=True resize."""
-    import numpy as np
+def _align_corners_matrix(n_in: int, n_out: int, dtype) -> Array:
+    """(n_out, n_in) bilinear interpolation matrix with align_corners=True.
 
+    Expressing the resize as two small matmuls keeps it on the MXU and gives
+    bit-faithful torch `align_corners=True` semantics, which
+    jax.image.resize (half-pixel centers) does not. (A static gather+lerp
+    variant was measured 45% SLOWER end to end on the chip — TPU gathers
+    along non-minor axes lose badly to the MXU — so the matmul form stays.)
+    """
     if n_out == 1:
-        return (np.zeros(1, np.int32), np.zeros(1, np.int32),
-                np.zeros(1, np.float32))
-    pos = np.arange(n_out, dtype=np.float64) * (n_in - 1) / (n_out - 1)
-    lo = np.clip(np.floor(pos).astype(np.int32), 0, n_in - 1)
-    hi = np.minimum(lo + 1, n_in - 1)
-    frac = (pos - lo).astype(np.float32)
-    return lo, hi, frac
+        w = jnp.zeros((1, n_in), dtype).at[0, 0].set(1.0)
+        return w
+    pos = jnp.arange(n_out, dtype=jnp.float32) * (n_in - 1) / (n_out - 1)
+    lo = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, n_in - 1)
+    hi = jnp.clip(lo + 1, 0, n_in - 1)
+    frac = pos - lo.astype(jnp.float32)
+    w = jnp.zeros((n_out, n_in), jnp.float32)
+    w = w.at[jnp.arange(n_out), lo].add(1.0 - frac)
+    w = w.at[jnp.arange(n_out), hi].add(frac)
+    return w.astype(dtype)
 
 
 def upsample_bilinear_align_corners(x: Array, out_h: int, out_w: int) -> Array:
-    """NHWC bilinear resize matching torch align_corners=True.
-
-    Interpolation has at most two taps per output row/column, so it runs
-    as STATIC gathers + a lerp — exact f32 math on the VPU. (The previous
-    dense-matmul form needed 6-pass HIGHEST matmul precision for the same
-    exactness and cost ~10 GMACs per 128-frame batch in the HRNet upsample
-    heads.)
-    """
+    """NHWC bilinear resize matching torch align_corners=True."""
     n, h, w, c = x.shape
-    lo_h, hi_h, f_h = _align_corners_taps(h, out_h)
-    lo_w, hi_w, f_w = _align_corners_taps(w, out_w)
-    f_h = jnp.asarray(f_h, x.dtype)[None, :, None, None]
-    f_w = jnp.asarray(f_w, x.dtype)[None, None, :, None]
-    x = jnp.take(x, lo_h, axis=1) * (1 - f_h) \
-        + jnp.take(x, hi_h, axis=1) * f_h
-    x = jnp.take(x, lo_w, axis=2) * (1 - f_w) \
-        + jnp.take(x, hi_w, axis=2) * f_w
+    Wh = _align_corners_matrix(h, out_h, x.dtype)
+    Ww = _align_corners_matrix(w, out_w, x.dtype)
+    x = jnp.einsum("oh,nhwc->nowc", Wh, x, precision=jax.lax.Precision.HIGHEST)
+    x = jnp.einsum("ow,nhwc->nhoc", Ww, x, precision=jax.lax.Precision.HIGHEST)
     return x
 
 
@@ -139,15 +136,17 @@ def keypoint_attention(features: Array, heatmaps: Array, act: str = "softmax",
 # Space-to-depth channel packing for low-channel convolutions
 # ---------------------------------------------------------------------------
 # The TPU MXU is a 128x128 systolic array: a conv with 32 output channels
-# uses 32 of 128 result lanes (~25% peak). HRNet's highest-resolution
-# branch is exactly that shape (56x56x32, reference hrnet.py:595-607), and
-# it dominates backbone compute time. Packing 2x2 spatial phases into the
-# channel dim turns conv3x3@56²x32 into conv3x3@28²x128 — the SAME dot
-# products (the packed kernel is zero-structured, so every nonzero
-# multiply-add is one of the original ones and numerics are preserved up
-# to f32 accumulation order) at 4x MXU lane utilization for 2x the nominal
-# MACs: net ~2x faster where the conv is MXU-bound (the 3x-pass "high"
-# precision production mode).
+# nominally uses 32 of 128 result lanes. HRNet's highest-resolution branch
+# is exactly that shape (56x56x32, reference hrnet.py:595-607). Packing
+# 2x2 spatial phases into the channel dim turns conv3x3@56²x32 into
+# conv3x3@28²x128 — the SAME dot products (the packed kernel is
+# zero-structured, so every nonzero multiply-add is one of the original
+# ones and numerics are preserved up to f32 accumulation order) at 4x lane
+# utilization for 2x the nominal MACs. MEASURED RESULT (scripts/
+# pack_bench.py, TPU v5e, batch 128): SLOWER at both "default" (55->64 ms)
+# and "high" (103->122 ms) — XLA's conv lowering already handles the
+# low-channel case better than the naive lane model predicts. Kept as a
+# tested, documented experiment (tests/test_packed_conv.py).
 
 def space_to_depth(x: Array, f: int = 2) -> Array:
     """NHWC (N,H,W,C) -> (N,H/f,W/f,f²C); channel index = (qy*f+qx)*C + c."""
