@@ -2,7 +2,7 @@
 
 The north-star metric (BASELINE.md): >= 300 fps/chip *end-to-end* on real
 hardware, not just the model loop. Measured on a 2000-frame 1080p clip so
-one-time costs (compile, background model) amortize out. Two pipeline
+one-time costs (compile, background model) amortize out. Three pipeline
 architectures are compared:
 
 1. **reference-compatible** — the reference's exact flow
@@ -11,10 +11,12 @@ architectures are compared:
    loop re-decoding the PNGs -> postproc. The PNG round trip alone runs at
    ~4 fps for 1080p (PNG encode dominates): this architecture cannot reach
    the target no matter how fast the chip is.
-2. **streaming (TPU-native)** — pipeline/video.VideoChunkReader decodes
-   H.264 straight into tracking and then into GRNetRunner's streamed
-   host-crop -> H2D -> bucketed forward -> D2H pipeline; the filesystem is
-   never touched.
+2. **streaming (TPU-native, two-pass)** — pipeline/video.VideoChunkReader
+   decodes H.264 straight into tracking and then AGAIN into GRNetRunner's
+   streamed host-crop -> H2D -> bucketed forward -> D2H pipeline; the
+   filesystem is never touched but the video decodes twice.
+3. **one-pass** — pipeline/stream.run_video_onepass: ONE decode feeding
+   detect -> SORT -> crop -> model incrementally (demo --onepass).
 
 Model variants: "joints" fetches theta+kp_3d+kp_2d (~1 KB/frame D2H — the
 clinical batch_generation contract); "full" adds the 6890-vertex mesh
@@ -182,7 +184,8 @@ def main():
         np.concatenate(head, axis=0))
 
     def det_stream_vid():
-        for chunk in video.VideoChunkReader(clip, chunk=64):
+        for chunk in video.VideoChunkReader(clip, chunk=64,
+                                            reuse_buffers=True):
             yield from sdetector(chunk)
 
     tracking_s = tracks.track_video(det_stream_vid())
@@ -197,7 +200,8 @@ def main():
     for variant, runner in runners.items():
         t0 = time.perf_counter()
         o = runner.run_track(
-            video.VideoChunkReader(clip, frame_ids=ids_s, chunk=32),
+            video.VideoChunkReader(clip, frame_ids=ids_s, chunk=32,
+                                   reuse_buffers=True),
             bboxes_s)
         stages[f"model_stream_{variant}"] = time.perf_counter() - t0
         log(f"model_stream[{variant}]: {nts} frames, "

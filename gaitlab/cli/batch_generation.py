@@ -172,7 +172,8 @@ def prepare_data(fv: str, vid_folder: str, outpath: str,
                 frame_num = n_extracted
             if stream:
                 reader = video_mod.VideoChunkReader(vid_path,
-                                                    frame_ids=keep)
+                                                    frame_ids=keep,
+                                                    reuse_buffers=True)
                 out = runner.run_track(reader, bboxes, scale=1.1)
                 kp_3d = convert_kps(out["joints3d"], src="spin2",
                                     dst="kinectv2").astype(np.float32)

@@ -168,7 +168,8 @@ def run_tracking(args, image_folder, video_file=None):
             detector.fit(np.concatenate(head, axis=0))
 
         def det_stream():
-            for chunk in video.VideoChunkReader(video_file, chunk=64):
+            for chunk in video.VideoChunkReader(video_file, chunk=64,
+                                                reuse_buffers=True):
                 yield from detector(chunk)
 
         tracking_results = tracks.track_video(det_stream())
@@ -336,7 +337,8 @@ def main(args):
         bboxes = np.array(tracking_results[person_id]["bbox"], np.float32)
         frames = np.asarray(tracking_results[person_id]["frames"])
         if image_files is None:  # --stream: decode straight from the video
-            source = video.VideoChunkReader(video_file, frame_ids=frames)
+            source = video.VideoChunkReader(video_file, frame_ids=frames,
+                                            reuse_buffers=True)
         else:
             source = list(image_files[frames])
 

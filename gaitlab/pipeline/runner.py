@@ -256,12 +256,20 @@ class GRNetRunner:
             crop_on = ("device" if frame_hw <= 2 * self.crop_size ** 2
                        else "host")
 
+        # ring-buffer readers (video.VideoChunkReader reuse_buffers=True)
+        # hand out views that are rewritten after the next pull; the host
+        # crop copies synchronously (cv2), but the device path may alias
+        # or DMA the host buffer asynchronously — snapshot it first.
+        ring = bool(getattr(frames_or_paths, "reuse_buffers", False))
+
         s = 0
         for chunk in chunks:
             e = s + len(chunk)
             if crop_on == "host":
                 yield self._host_crop(chunk, bboxes[s:e], scale)
             else:
+                if ring:
+                    chunk = np.array(chunk)
                 yield crop_mod.crop_and_normalize(
                     chunk, bboxes[s:e], scale=scale, crop_size=self.crop_size)
             s = e

@@ -72,7 +72,8 @@ def run_video_onepass(
 
         detector = MedianBackgroundDetector()
 
-    reader = video_mod.VideoChunkReader(vid_file, chunk=chunk)
+    reader = video_mod.VideoChunkReader(vid_file, chunk=chunk,
+                                        reuse_buffers=True)
     h, w = reader.image_hw
     gait = runner.model.module.use_gait_feat
     cimg_row = np.array([w * 0.5, h * 0.5], np.float32)
@@ -125,7 +126,7 @@ def run_video_onepass(
     for frames in reader:
         if not fitted and hasattr(detector, "fit"):
             # calibrate the background model on the first fit_frames
-            fit_buf.append(frames)
+            fit_buf.append(np.array(frames))  # ring views: must copy
             if sum(len(c) for c in fit_buf) >= fit_frames:
                 detector.fit(np.concatenate(fit_buf, axis=0))
                 fitted = True

@@ -87,11 +87,24 @@ class VideoChunkReader:
 
     frame_ids: sorted frame indices to keep (a track's frames); None = all.
     Yields (k, H, W, 3) uint8 RGB chunks covering frame_ids in order.
+
+    reuse_buffers: decode straight into a 3-deep preallocated ring and
+    yield VIEWS into it — no per-chunk allocation. Large fresh numpy
+    allocations cost ~3x the decode itself in page faults on this class
+    of host (measured 15-30 ms/frame vs the 5 ms/frame decode+convert
+    floor at 1080p; the ring reaches the floor). CONTRACT: a yielded
+    chunk is only valid until the next chunk is pulled from the iterator
+    — consumers that hold chunks across iterations must .copy(). All
+    in-repo hot paths (runner crop stream, detectors, one-pass pipeline)
+    consume chunk-at-a-time; buffering call sites pass
+    reuse_buffers=False or copy explicitly.
     """
 
-    def __init__(self, vid_file: str, frame_ids=None, chunk: int = 32):
+    def __init__(self, vid_file: str, frame_ids=None, chunk: int = 32,
+                 reuse_buffers: bool = False):
         self.vid_file = vid_file
         self.chunk = chunk
+        self.reuse_buffers = reuse_buffers
         self.frame_ids = (None if frame_ids is None
                           else np.asarray(frame_ids, np.int64))
         if self.frame_ids is not None:
@@ -110,8 +123,15 @@ class VideoChunkReader:
 
         import cv2
 
-        q: queue.Queue = queue.Queue(maxsize=2)
+        # ring safety: the worker fills slot j%3 for chunk j. With queue
+        # maxsize=1 the worker is at most (consumed + 1 queued + 1 being
+        # filled) ahead, so the consumer's CURRENT chunk slot is never
+        # rewritten before the next pull.
+        q: queue.Queue = queue.Queue(maxsize=1 if self.reuse_buffers else 2)
         stop = threading.Event()
+        h, w = self.image_hw
+        ring = ([np.empty((self.chunk, h, w, 3), np.uint8)
+                 for _ in range(3)] if self.reuse_buffers else None)
 
         def worker():
             cap = cv2.VideoCapture(self.vid_file)
@@ -120,8 +140,38 @@ class VideoChunkReader:
                     raise FileNotFoundError(self.vid_file)
                 want = self.frame_ids
                 wi = 0
-                buf = []
                 i = 0
+                bi = 0   # ring slot
+                k = 0    # frames in current slot
+                buf = []  # non-ring mode
+
+                def put(item):
+                    # bounded put that notices a stopped consumer, so an
+                    # early break on the consumer side can't leave this
+                    # thread blocked forever holding the capture
+                    while not stop.is_set():
+                        try:
+                            q.put(item, timeout=0.2)
+                            return True
+                        except queue.Full:
+                            continue
+                    return False
+
+                def flush(full_only: bool):
+                    nonlocal bi, k, buf
+                    if ring is not None:
+                        if k and (not full_only or k >= self.chunk):
+                            if not put(ring[bi][:k]):
+                                return
+                            bi = (bi + 1) % 3
+                            k = 0
+                    else:
+                        while buf and (len(buf) >= self.chunk
+                                       or not full_only):
+                            if not put(np.stack(buf[: self.chunk])):
+                                return
+                            buf = buf[self.chunk :]
+
                 while not stop.is_set():
                     ok, frame = cap.read()
                     if not ok:
@@ -133,20 +183,30 @@ class VideoChunkReader:
                         while wi < len(want) and want[wi] == i:
                             take += 1  # duplicated ids allowed
                             wi += 1
-                    if take:
+                    if take and ring is not None:
+                        cv2.cvtColor(frame, cv2.COLOR_BGR2RGB,
+                                     dst=ring[bi][k])
+                        first = ring[bi][k]
+                        k += 1
+                        flush(True)
+                        for _ in range(take - 1):
+                            np.copyto(ring[bi][k], first)
+                            k += 1
+                            flush(True)
+                    elif take:
                         rgb = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
                         buf.extend([rgb] * take)
-                        while len(buf) >= self.chunk:
-                            q.put(np.stack(buf[: self.chunk]))
-                            buf = buf[self.chunk :]
+                        flush(True)
                     i += 1
                     if want is not None and wi >= len(want):
                         break
-                if buf:
-                    q.put(np.stack(buf))
-                q.put(None)
+                flush(False)
+                put(None)
             except Exception as e:
-                q.put(e)
+                try:
+                    q.put(e, timeout=1.0)
+                except queue.Full:
+                    pass
             finally:
                 cap.release()
 

@@ -275,6 +275,23 @@ def test_video_chunk_reader(tmp_path, rng):
     got_all = np.concatenate(list(reader_all), axis=0)
     np.testing.assert_array_equal(got_all, all_frames)
 
+    # ring-buffer mode: identical frames (consumer copies per the
+    # documented one-chunk validity contract), duplicates included
+    for chunk in (4, 8):
+        got_r = np.concatenate(
+            [np.array(c) for c in video.VideoChunkReader(
+                vid, frame_ids=ids, chunk=chunk, reuse_buffers=True)],
+            axis=0)
+        np.testing.assert_array_equal(got_r, all_frames[ids])
+    got_r = np.concatenate(
+        [np.array(c) for c in video.VideoChunkReader(
+            vid, chunk=7, reuse_buffers=True)], axis=0)
+    np.testing.assert_array_equal(got_r, all_frames)
+    # early consumer break must not leave the worker blocked
+    r = video.VideoChunkReader(vid, chunk=4, reuse_buffers=True)
+    for _ in r:
+        break
+
 
 def test_runner_accepts_video_reader(tmp_path, monkeypatch, rng):
     """run_track consumes a VideoChunkReader directly (no image folder)."""
