@@ -366,7 +366,8 @@ class ForwardStream:
     the requested output keys, and merges.
     """
 
-    def __init__(self, runner: GRNetRunner, bbox=None, cimg=None):
+    def __init__(self, runner: GRNetRunner, bbox=None, cimg=None,
+                 async_dispatch: bool = True):
         self.runner = runner
         self.gait = runner.model.module.use_gait_feat
         self.max_b = runner.buckets[-1]
@@ -382,6 +383,37 @@ class ForwardStream:
         self._outs: list = []
         self._lengths: list = []
         self._done = False
+        # Dispatch on a worker thread: through a tunneled accelerator the
+        # jit call blocks while the argument bytes upload (~5-7 ms/frame
+        # of 224² uint8 crops at the measured 20-40 MB/s link), which
+        # would otherwise serialize with host decode/detect/crop.
+        # device_put/dispatch release the GIL during the copy, so the
+        # overlap is real even on a 1-core host.
+        self._async = bool(async_dispatch)
+        self._q = None
+        self._thread = None
+        self._err: list = []
+        if self._async:
+            import queue as queue_mod
+            import threading
+
+            self._q = queue_mod.Queue(maxsize=2)
+
+            def drain():
+                while True:
+                    item = self._q.get()
+                    try:
+                        if item is None:
+                            return
+                        if not self._err:
+                            self._run_forward(*item)
+                    except BaseException as e:  # surfaced at feed/finish
+                        self._err.append(e)
+                    finally:
+                        self._q.task_done()
+
+            self._thread = threading.Thread(target=drain, daemon=True)
+            self._thread.start()
 
     @staticmethod
     def _pad_to(arr, m: int, b: int):
@@ -407,7 +439,19 @@ class ForwardStream:
             bufs.append(cat[m:])
         return np.asarray(cat[:m], np.float32)
 
+    def _run_forward(self, b, raw, piece, bb, ci, nv):
+        """Execute one bucketed forward (worker thread when async)."""
+        r = self.runner
+        self._outs.append(r._forward(b, raw_uint8=raw)(
+            self._variables, self._smpl, piece, bb, ci, nv))
+
+    def _check_err(self):
+        if self._err:
+            err, self._err = self._err[0], []
+            raise err
+
     def _dispatch(self, piece, m: int):
+        self._check_err()
         r = self.runner
         b = r._bucket(m)
         raw = isinstance(piece, np.ndarray)
@@ -417,8 +461,10 @@ class ForwardStream:
         ci = self._pad_to(self._take_rows(self._cimg_full, self._ci_buf, m),
                           m, b)
         nv = np.int32(m) if self.gait else None
-        self._outs.append(r._forward(b, raw_uint8=raw)(
-            self._variables, self._smpl, piece, bb, ci, nv))
+        if self._q is not None:
+            self._q.put((b, raw, piece, bb, ci, nv))
+        else:
+            self._run_forward(b, raw, piece, bb, ci, nv)
         self._lengths.append(m)
         self._start += m
 
@@ -426,6 +472,7 @@ class ForwardStream:
         """Add a crop chunk (and, for the gait branch when bbox/cimg were
         not given upfront, the aligned per-frame rows)."""
         assert not self._done, "feed() after finish()"
+        self._check_err()
         self._buf.append(chunk)
         self._buffered += chunk.shape[0]
         if bbox is not None:
@@ -450,6 +497,11 @@ class ForwardStream:
                    else xp.concatenate(self._buf, axis=0))
             self._dispatch(cat, self._buffered)
             self._buf = []
+        if self._thread is not None:
+            self._q.put(None)
+            self._thread.join()
+            self._thread = None
+            self._check_err()
         # single readback pass after the full pipeline is queued; only the
         # requested keys cross the (slow) D2H link
         fetch = self.runner.fetch
