@@ -51,31 +51,52 @@ def analyze_video(
     tracking: Optional[dict] = None,
     runner=None,
     fps: Optional[float] = None,
+    onepass: bool = False,
 ) -> dict:
     """Video -> {person_id: reference-schema output dict} (demo pipeline
     without the CLI/file-system ceremony). `tracking` can supply
-    precomputed tracklets; `runner` reuses a load_pipeline() result."""
+    precomputed tracklets; `runner` reuses a load_pipeline() result.
+
+    onepass=True streams the whole pipeline over a SINGLE video decode
+    (gaitlab.pipeline.stream.run_video_onepass — detect/track/crop/model
+    fused; ~2x sustained fps on decode-bound hosts; no smooth_tracking
+    gap interpolation, and `tracking`/`fps` are not supported there).
+    """
     from gaitlab.body.joints import convert_kps
     from gaitlab.pipeline import coords, detect, smoothing, tracks, video
-    from gaitlab.pipeline.runner import GRNetRunner
-
-    frames = np.stack(list(video.read_frames(vid_file, fps=fps)))
-    h, w = frames.shape[1:3]
-
-    if tracking is None:
-        detector = detect.MedianBackgroundDetector()
-        tracking = tracks.track_video(detector(frames))
-    tracking, _ = tracks.smooth_tracking(tracking)
 
     if runner is None:
         _, runner = load_pipeline(ckpt=ckpt, smpl_model=smpl_model)
     model = runner.model
 
+    if onepass:
+        assert tracking is None and fps is None, \
+            "onepass streams detection itself; precomputed tracking or " \
+            "fps resampling need the two-pass path"
+        from gaitlab.pipeline import stream as stream_mod
+
+        _, _, w, h = video.get_video_info(vid_file)
+        raw = stream_mod.run_video_onepass(runner, vid_file)
+        per_track = {pid: (r, np.asarray(r["bboxes"], np.float32),
+                           np.asarray(r["frames"]))
+                     for pid, r in raw.items()}
+    else:
+        frames = np.stack(list(video.read_frames(vid_file, fps=fps)))
+        h, w = frames.shape[1:3]
+
+        if tracking is None:
+            detector = detect.MedianBackgroundDetector()
+            tracking = tracks.track_video(detector(frames))
+        tracking, _ = tracks.smooth_tracking(tracking)
+        per_track = {}
+        for pid, tr in tracking.items():
+            bboxes = np.asarray(tr["bbox"], np.float32)
+            fidx = np.asarray(tr["frames"])
+            per_track[pid] = (runner.run_track(frames[fidx], bboxes),
+                              bboxes, fidx)
+
     results = {}
-    for pid, tr in tracking.items():
-        bboxes = np.asarray(tr["bbox"], np.float32)
-        fidx = np.asarray(tr["frames"])
-        out = runner.run_track(frames[fidx], bboxes)
+    for pid, (out, bboxes, fidx) in per_track.items():
         verts, pose, joints3d = out["verts"], out["pose"], out["joints3d"]
         if smooth:
             verts, pose, joints3d = smoothing.smooth_pose(
