@@ -37,6 +37,30 @@ def test_forward_stream_matches_batch(monkeypatch, tmp_path):
     assert batch["theta"].shape[0] == 21
 
 
+def test_forward_stream_error_propagates(monkeypatch):
+    """A failure on the async dispatch thread must surface at the next
+    feed()/finish(), not vanish."""
+    monkeypatch.setenv("GAITLAB_BUCKETS", "8")
+    from gaitlab.nn.grnet import GRNet
+    from gaitlab.pipeline.runner import GRNetRunner
+
+    model = GRNet.create()
+    runner = GRNetRunner(model)
+
+    def boom(b, raw_uint8=False):
+        def f(*a, **k):
+            raise RuntimeError("dispatch boom")
+        return f
+
+    monkeypatch.setattr(runner, "_forward", boom)
+    session = runner.open_stream()
+    crops = np.zeros((8, 224, 224, 3), np.float32)
+    with pytest.raises(RuntimeError, match="dispatch boom"):
+        session.feed(crops)   # fills a bucket -> async dispatch fails
+        session.feed(crops)   # error surfaces on a later call...
+        session.finish()      # ...or at the latest here
+
+
 @pytest.mark.slow
 def test_onepass_matches_twopass(monkeypatch, tmp_path):
     monkeypatch.setenv("GAITLAB_BUCKETS", "32")
