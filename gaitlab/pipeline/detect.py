@@ -120,11 +120,17 @@ class YoloTinyDetector:
         if weights_path:
             variables = yolo.load_darknet_weights(weights_path, variables)
         self.variables = variables
+        # uint8 frames cross the (slow, tunneled) H2D link; the /255
+        # normalization fuses into the first conv in-graph — 4x less
+        # upload than shipping f32 letterboxed frames
         self._fwd = jax.jit(
-            lambda v, im: yolo.detect(self.module, v, im))
+            lambda v, im: yolo.detect(self.module, v,
+                                      im.astype(jnp.float32) / 255.0))
 
     def _letterbox(self, frames: np.ndarray):
-        """uint8 RGB (N,H,W,3) -> f32 (N,S,S,3) in [0,1] + (scale, pad)."""
+        """uint8 RGB (N,H,W,3) -> uint8 (N,S,S,3) + (scale, pad).
+
+        Border fill 128 (mid-gray; the darknet convention)."""
         import cv2
 
         n, h, w = frames.shape[:3]
@@ -132,10 +138,10 @@ class YoloTinyDetector:
         scale = min(s / h, s / w)
         nh, nw = int(round(h * scale)), int(round(w * scale))
         top, left = (s - nh) // 2, (s - nw) // 2
-        out = np.full((n, s, s, 3), 0.5, np.float32)
+        out = np.full((n, s, s, 3), 128, np.uint8)
         for i in range(n):
             r = cv2.resize(frames[i], (nw, nh), interpolation=cv2.INTER_LINEAR)
-            out[i, top : top + nh, left : left + nw] = r / 255.0
+            out[i, top : top + nh, left : left + nw] = r
         return out, scale, (left, top)
 
     def __call__(self, frames: np.ndarray) -> List[np.ndarray]:
