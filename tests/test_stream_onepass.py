@@ -100,6 +100,44 @@ def test_onepass_matches_twopass(monkeypatch, tmp_path):
 
 
 @pytest.mark.slow
+def test_onepass_gait_branch(monkeypatch, tmp_path):
+    """One-pass with the gait model: incremental bbox/cimg feed must match
+    the equivalent run_track call (same crops, same camera context)."""
+    monkeypatch.setenv("GAITLAB_BUCKETS", "32")
+    from gaitlab.nn.grnet import GRNet
+    from gaitlab.pipeline import stream
+    from gaitlab.pipeline.runner import GRNetRunner
+
+    vid = str(tmp_path / "walk.mp4")
+    make_synthetic_video(vid, n=40)
+
+    # crop_on="host" so the run_track comparison uses the same crop
+    # backend as one-pass (the device warp differs from cv2 by <=1
+    # intensity count, which random-weight gait nets amplify)
+    model = GRNet.create(use_gait_feat=True, featcorr_h_size=64)
+    runner = GRNetRunner(model, fetch=("theta", "kp_3d"), crop_on="host")
+    one = stream.run_video_onepass(runner, vid, fit_frames=40)
+    assert len(one) == 1
+    res = next(iter(one.values()))
+    n = len(res["frames"])
+    assert n >= 25
+    assert res["pred_phase"].shape == (n, 4)
+    assert res["pred_avg"].shape == (3,)
+    assert np.all(np.isfinite(res["pred_phase"]))
+
+    # equivalence with run_track on the identical frames/bboxes
+    from gaitlab.pipeline import video
+
+    frames_all = np.concatenate(
+        [c for c in video.VideoChunkReader(vid, chunk=16)], axis=0)
+    ref = runner.run_track(frames_all[res["frames"]], res["bboxes"])
+    np.testing.assert_allclose(res["joints3d"], ref["joints3d"],
+                               rtol=0, atol=1e-5)
+    np.testing.assert_allclose(res["pred_phase"], ref["pred_phase"],
+                               rtol=0, atol=1e-5)
+
+
+@pytest.mark.slow
 def test_demo_cli_onepass(tmp_path, monkeypatch):
     """--onepass end to end: single-decode pipeline, reference pkl schema."""
     import joblib
