@@ -7,8 +7,6 @@ Naming convention: submodule names mirror the reference torch module paths
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Sequence
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

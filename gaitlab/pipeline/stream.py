@@ -26,8 +26,6 @@ Use the two-pass CLI path when reference-exact tracking is required.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 
 from gaitlab.pipeline import tracks as tracks_mod
