@@ -502,6 +502,8 @@ class ForwardStream:
             self._thread.join()
             self._thread = None
             self._check_err()
+        if not self._outs:  # zero frames fed: empty result, not a crash
+            return {}
         # single readback pass after the full pipeline is queued; only the
         # requested keys cross the (slow) D2H link
         fetch = self.runner.fetch

@@ -37,6 +37,16 @@ def test_forward_stream_matches_batch(monkeypatch, tmp_path):
     assert batch["theta"].shape[0] == 21
 
 
+def test_forward_stream_empty_finish(monkeypatch):
+    """finish() with zero frames fed returns {} (library edge case)."""
+    monkeypatch.setenv("GAITLAB_BUCKETS", "8")
+    from gaitlab.nn.grnet import GRNet
+    from gaitlab.pipeline.runner import GRNetRunner
+
+    runner = GRNetRunner(GRNet.create())
+    assert runner.open_stream().finish() == {}
+
+
 def test_forward_stream_error_propagates(monkeypatch):
     """A failure on the async dispatch thread must surface at the next
     feed()/finish(), not vanish."""
