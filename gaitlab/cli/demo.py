@@ -156,7 +156,9 @@ def run_tracking(args, image_folder, video_file=None):
             tracking_results = {0: tracking_results}
         print(f'Loaded precomputed tracklets from "{trackpath}"')
     elif video_file is not None:
-        detector = detect.get_detector(args.detector)
+        detector = detect.get_detector(
+            args.detector, input_size=args.yolo_img_size,
+            batch=args.tracker_batch_size)
         if isinstance(detector, detect.MedianBackgroundDetector):
             head = []
             got = 0
@@ -175,7 +177,9 @@ def run_tracking(args, image_folder, video_file=None):
         tracking_results = tracks.track_video(det_stream())
     else:
         frames = video.load_frames(video.list_image_files(image_folder))
-        detector = detect.get_detector(args.detector)
+        detector = detect.get_detector(
+            args.detector, input_size=args.yolo_img_size,
+            batch=args.tracker_batch_size)
         tracking_results = tracks.track_video(detector(frames))
     return tracks.smooth_tracking(tracking_results)
 
@@ -226,6 +230,21 @@ def _person_output(out, bboxes, frames, person_id, args, model,
         except KeyError:
             print(f"Unknown skeleton type: {args.joint_type}.")
     return output_dict
+
+
+
+def _runner_kwargs(args) -> dict:
+    """Map --grnet_batch_size (reference forward batch, demo.py:415-416)
+    onto the runner's static bucket set: buckets are capped at the
+    requested batch. The default 450 equals the default max bucket, so
+    only an explicit override changes anything."""
+    from gaitlab.pipeline.runner import DEFAULT_BUCKETS
+
+    gbs = int(getattr(args, "grnet_batch_size", 0) or 0)
+    if gbs and gbs != 450:
+        return {"buckets": tuple(sorted(
+            {b for b in DEFAULT_BUCKETS if b < gbs} | {gbs}))}
+    return {}
 
 
 def main(args):
@@ -290,13 +309,16 @@ def main(args):
         from gaitlab.pipeline import stream as stream_mod
 
         model = load_model(args, cfg)
-        runner = GRNetRunner(model, bbox_scale=1.0)
+        runner = GRNetRunner(model, bbox_scale=1.0, **_runner_kwargs(args))
         grnet_time = time.time()
         profile_ctx = profile_trace()
         profile_ctx.__enter__()
         with timer.stage("onepass"):
             res = stream_mod.run_video_onepass(
-                runner, video_file, detector=detect.get_detector(args.detector))
+                runner, video_file,
+                detector=detect.get_detector(
+                    args.detector, input_size=args.yolo_img_size,
+                    batch=args.tracker_batch_size))
         grnet_results = {}
         num_frames_list = sorted(len(r["frames"]) for r in res.values())
         for person_id, out in res.items():
@@ -324,7 +346,7 @@ def main(args):
             del tracking_results[person_id]
 
     model = load_model(args, cfg)
-    runner = GRNetRunner(model, bbox_scale=1.0)
+    runner = GRNetRunner(model, bbox_scale=1.0, **_runner_kwargs(args))
     image_files = (np.array(video.list_image_files(image_folder))
                    if image_folder else None)
 

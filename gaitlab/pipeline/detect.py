@@ -238,7 +238,8 @@ class DnnPersonDetector:
         return [self._detect_one(f) for f in frames]
 
 
-def get_detector(name: str = "median_bg", **kw) -> "Detector":
+def get_detector(name: str = "median_bg", input_size: Optional[int] = None,
+                 batch: Optional[int] = None, **kw) -> "Detector":
     """Detector factory for the CLI --detector flag.
 
     'yolo' runs the in-repo Flax YOLOv3-tiny when weights are available —
@@ -246,7 +247,10 @@ def get_detector(name: str = "median_bg", **kw) -> "Detector":
     (gaitlab.pipeline.fetch) — else DnnPersonDetector for a user-supplied
     $GAITLAB_DETECTOR_MODEL (.onnx etc.), else falls back to the offline
     median-background detector (this environment cannot download YOLO
-    weights)."""
+    weights). input_size/batch map the reference's --yolo_img_size /
+    --tracker_batch_size operating points (demo.py:409-413) onto whichever
+    neural detector is selected; the median-background fallback has no use
+    for them."""
     import os
 
     if name == "yolo":
@@ -259,9 +263,15 @@ def get_detector(name: str = "median_bg", **kw) -> "Detector":
             except FileNotFoundError:
                 weights = None
         if weights:
+            if input_size:
+                kw.setdefault("input_size", int(input_size))
+            if batch:
+                kw.setdefault("batch", int(batch))
             return YoloTinyDetector(weights_path=weights, **kw)
         model = os.environ.get("GAITLAB_DETECTOR_MODEL")
         if model:
+            if input_size:
+                kw.setdefault("input_size", int(input_size))
             return DnnPersonDetector(
                 model, os.environ.get("GAITLAB_DETECTOR_CONFIG"), **kw)
         print("WARNING: no YOLO weights found (set $GAITLAB_YOLO_WEIGHTS "
@@ -271,6 +281,8 @@ def get_detector(name: str = "median_bg", **kw) -> "Detector":
     if name == "median_bg":
         return MedianBackgroundDetector(**kw)
     if name == "dnn":
+        if input_size:
+            kw.setdefault("input_size", int(input_size))
         return DnnPersonDetector(**kw)
     raise ValueError(f"unknown detector: {name}")
 

@@ -158,3 +158,30 @@ def test_yolo_detector_random_weights_wellformed(module_and_vars):
     assert len(out) == 3
     for d in out:
         assert d.shape[1:] == (5,)
+
+
+def test_get_detector_forwards_operating_point(tmp_path, monkeypatch,
+                                               module_and_vars):
+    """--yolo_img_size / --tracker_batch_size reach the neural detector
+    (reference operating point demo.py:409-413; these flags were parsed
+    but unused before round 2)."""
+    from gaitlab.nn import yolo
+    from gaitlab.pipeline import detect
+
+    module, variables = module_and_vars
+    path = str(tmp_path / "yolov3-tiny.weights")
+    yolo.save_darknet_weights(path, variables)
+    monkeypatch.setenv("GAITLAB_YOLO_WEIGHTS", path)
+    det = detect.get_detector("yolo", input_size=320, batch=4)
+    assert isinstance(det, detect.YoloTinyDetector)
+    assert det.input_size == 320
+    assert det.batch == 4
+
+
+def test_demo_runner_kwargs_cap_buckets():
+    """--grnet_batch_size caps the runner bucket set (demo.py:415-416)."""
+    from gaitlab.cli import demo
+
+    a = demo.build_parser().parse_args(["--grnet_batch_size", "128"])
+    assert demo._runner_kwargs(a) == {"buckets": (32, 64, 128)}
+    assert demo._runner_kwargs(demo.build_parser().parse_args([])) == {}
