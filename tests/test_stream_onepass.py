@@ -110,6 +110,49 @@ def test_onepass_matches_twopass(monkeypatch, tmp_path):
 
 
 @pytest.mark.slow
+def test_onepass_multi_person(monkeypatch, tmp_path):
+    """Two well-separated walkers: one-pass must keep two stable tracks
+    with per-track outputs (tracking contract of the reference MPT dict,
+    demo.py:89-103)."""
+    import cv2
+
+    monkeypatch.setenv("GAITLAB_BUCKETS", "32")
+    from gaitlab.nn.grnet import GRNet
+    from gaitlab.pipeline import stream
+    from gaitlab.pipeline.runner import GRNetRunner
+
+    vid = str(tmp_path / "two.mp4")
+    w, h, n = 480, 240, 44
+    writer = cv2.VideoWriter(vid, cv2.VideoWriter_fourcc(*"mp4v"), 20.0,
+                             (w, h))
+    rng = np.random.default_rng(0)
+    bg = rng.integers(40, 70, size=(h, w, 3)).astype(np.uint8)
+    for i in range(n):
+        frame = bg.copy()
+        xa = 20 + 2 * i
+        cv2.rectangle(frame, (xa, 40), (xa + 40, 200), (210, 190, 180), -1)
+        xb = 420 - 2 * i
+        cv2.rectangle(frame, (xb, 40), (xb + 40, 200), (180, 200, 215), -1)
+        writer.write(frame)
+    writer.release()
+
+    model = GRNet.create()
+    runner = GRNetRunner(model, fetch=("theta", "kp_3d"), crop_on="host")
+    res = stream.run_video_onepass(runner, vid, fit_frames=44)
+    assert len(res) == 2, f"expected 2 tracks, got {len(res)}"
+    for pid, r in res.items():
+        m = len(r["frames"])
+        assert m >= 25, (pid, m)
+        assert r["joints3d"].shape[0] == m
+        assert r["bboxes"].shape == (m, 4)
+        # id stability: frames strictly increasing (no id swap gaps)
+        assert np.all(np.diff(r["frames"]) >= 1)
+    # the two tracks cover disjoint x-regions (no identity mixing)
+    centers = sorted(float(r["bboxes"][:, 0].mean()) for r in res.values())
+    assert centers[0] < w / 2 < centers[1]
+
+
+@pytest.mark.slow
 def test_onepass_gait_branch(monkeypatch, tmp_path):
     """One-pass with the gait model: incremental bbox/cimg feed must match
     the equivalent run_track call (same crops, same camera context)."""
