@@ -176,11 +176,20 @@ def run_tracking(args, image_folder, video_file=None):
 
         tracking_results = tracks.track_video(det_stream())
     else:
-        frames = video.load_frames(video.list_image_files(image_folder))
+        # chunked like the stream path: never materialise the whole clip
+        # (a 2000-frame 1080p folder is ~12 GB as one array)
+        files = video.list_image_files(image_folder)
         detector = detect.get_detector(
             args.detector, input_size=args.yolo_img_size,
             batch=args.tracker_batch_size)
-        tracking_results = tracks.track_video(detector(frames))
+        if isinstance(detector, detect.MedianBackgroundDetector):
+            detector.fit(video.load_frames(files[:64]))
+
+        def det_folder_stream():
+            for s0 in range(0, len(files), 64):
+                yield from detector(video.load_frames(files[s0 : s0 + 64]))
+
+        tracking_results = tracks.track_video(det_folder_stream())
     return tracks.smooth_tracking(tracking_results)
 
 
@@ -263,6 +272,14 @@ def main(args):
         jax.config.update("jax_platforms", "cpu")
 
     video_file = args.vid_file
+    if not args.img_folder and video_file and "://" in video_file:
+        # the reference's --vid_file help promises YouTube download
+        # (lib/utils/demo_utils.py:88); this deployment is zero-egress,
+        # so fail with the actionable message instead of "does not exist"
+        sys.exit(
+            f"Input video \"{video_file}\" is a URL. This build runs "
+            "offline (no network egress): download the clip first "
+            "(e.g. yt-dlp on a connected machine) and pass the local file.")
     if not args.img_folder and not osp.isfile(video_file):
         sys.exit(f"Input video \"{video_file}\" does not exist!")
 
@@ -320,7 +337,11 @@ def main(args):
                     args.detector, input_size=args.yolo_img_size,
                     batch=args.tracker_batch_size))
         grnet_results = {}
-        num_frames_list = sorted(len(r["frames"]) for r in res.values())
+        # sorted union of frame ids — the same list the two-pass path gets
+        # from smooth_tracking's second return (demo.py:99,236), so the
+        # VIBE/Total FPS prints below count FRAMES, not tracks
+        num_frames_list = sorted(
+            {int(f) for r in res.values() for f in r["frames"]})
         for person_id, out in res.items():
             grnet_results[person_id] = _person_output(
                 out, out["bboxes"], out["frames"], person_id, args, model,

@@ -48,6 +48,15 @@ class GRNetCore(nn.Module):
     # low-channel conv handling beats the naive MXU-lane model. Kept as a
     # documented experiment; leave 0 in production.
     pack_low_channel: int = 0
+    # Per-region backbone matmul-precision overrides (HRNetCfg
+    # .region_precision): tuple of (region, precision) pairs. The mixed-
+    # precision production modes (docs/PRECISION.json) pin the bf16-
+    # sensitive stages at "high" while the rest rides the caller's global
+    # precision context.
+    backbone_region_precision: tuple = ()
+    # Activation-dtype casts at backbone region boundaries (HRNetCfg
+    # .cast_after) — the bf16-trunk hybrid knob.
+    backbone_cast_after: tuple = ()
     freeze_backbone: bool = True
     use_gait_feat: bool = False      # reference grnet.py:40 default False
     use_pallas_attention: bool = False
@@ -61,7 +70,9 @@ class GRNetCore(nn.Module):
     def setup(self):
         self.backbone = PoseHighResolutionNet(
             HRNetCfg.w(self.backbone_width, downsample=False, use_conv=True,
-                       pack_low_channel=self.pack_low_channel),
+                       pack_low_channel=self.pack_low_channel,
+                       region_precision=self.backbone_region_precision,
+                       cast_after=self.backbone_cast_after),
             name="backbone",
         )
         self.head = PareHead(

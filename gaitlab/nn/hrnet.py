@@ -12,6 +12,7 @@ Submodule names mirror the torch module paths for mechanical weight import.
 
 from __future__ import annotations
 
+import contextlib
 from dataclasses import dataclass, field
 from typing import Optional, Sequence
 
@@ -61,15 +62,34 @@ class HRNetCfg:
     # handles the low-channel convs better than the naive 32-of-128-lanes
     # model predicts. Kept as a documented experiment.
     pack_low_channel: int = 0
+    # Per-region matmul-precision overrides: tuple of (region, precision)
+    # pairs with region in {"stem","layer1","stage2","stage3","stage4",
+    # "heads"} and precision a jax.default_matmul_precision name. Regions
+    # trace inside their own precision context, overriding whatever the
+    # caller set globally — the mixed-precision frontier knob behind the
+    # accuracy-qualified speed modes (scripts/precision_study.py; bf16
+    # error concentrates in specific stages, so most of the trunk can run
+    # single-pass bf16 while the sensitive stages stay at "high").
+    # A tuple (not a dict) so the dataclass stays hashable for Flax.
+    region_precision: tuple = ()
+    # Activation dtype casts at region boundaries: (region, dtype) pairs —
+    # activations cast to `dtype` AFTER the named region completes. Used by
+    # the bf16-trunk hybrid modes ("stem at f32, rest of the trunk in
+    # bf16"): pair with param trees cast per-subtree outside the module.
+    cast_after: tuple = ()
 
     @staticmethod
     def w(width: int = 32, downsample: bool = False, use_conv: bool = True,
-          pack_low_channel: int = 0) -> "HRNetCfg":
+          pack_low_channel: int = 0,
+          region_precision: tuple = (),
+          cast_after: tuple = ()) -> "HRNetCfg":
         return HRNetCfg(
             width=width,
             downsample=downsample,
             use_conv=use_conv,
             pack_low_channel=pack_low_channel,
+            region_precision=tuple(region_precision),
+            cast_after=tuple(cast_after),
             stage2=StageCfg(1, 2, (4, 4), (width, width * 2), "BASIC"),
             stage3=StageCfg(4, 3, (4, 4, 4), (width, width * 2, width * 4), "BASIC"),
             stage4=StageCfg(3, 4, (4, 4, 4, 4),
@@ -213,27 +233,48 @@ class PoseHighResolutionNet(nn.Module):
     cfg: HRNetCfg
     stop_after: str = ""
 
+    def _prec(self, region: str):
+        """Trace-time matmul-precision context for a named region (see
+        HRNetCfg.region_precision); innermost context wins over the
+        caller's global default_matmul_precision."""
+        for r, p in self.cfg.region_precision:
+            if r == region:
+                return jax.default_matmul_precision(p)
+        return contextlib.nullcontext()
+
+    def _cast_after(self, region: str, x):
+        """Cast activations at a region boundary (HRNetCfg.cast_after)."""
+        for r, dt in self.cfg.cast_after:
+            if r == region:
+                if isinstance(x, list):
+                    return [a.astype(dt) for a in x]
+                return x.astype(dt)
+        return x
+
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
         cfg = self.cfg
         # stem: two stride-2 3x3 convs (hrnet.py:286-293)
-        x = conv(64, 3, 2, name="conv1")(x)
-        x = batch_norm(train, name="bn1")(x)
-        x = nn.relu(x)
-        x = conv(64, 3, 2, name="conv2")(x)
-        x = batch_norm(train, name="bn2")(x)
-        x = nn.relu(x)
+        with self._prec("stem"):
+            x = conv(64, 3, 2, name="conv1")(x)
+            x = batch_norm(train, name="bn1")(x)
+            x = nn.relu(x)
+            x = conv(64, 3, 2, name="conv2")(x)
+            x = batch_norm(train, name="bn2")(x)
+            x = nn.relu(x)
         if self.stop_after == "stem":
             return x
+        x = self._cast_after("stem", x)
 
         # layer1: 4 Bottlenecks 64->256
         in_ch = 64
-        for b in range(4):
-            x = Bottleneck(64, 1, has_downsample=(b == 0), name=f"layer1_{b}")(
-                x, train
-            )
+        with self._prec("layer1"):
+            for b in range(4):
+                x = Bottleneck(64, 1, has_downsample=(b == 0),
+                               name=f"layer1_{b}")(x, train)
         if self.stop_after == "layer1":
             return x
+        x = self._cast_after("layer1", x)
         # transitions + stages
         def transition(prev: list, prev_ch: tuple, cur_ch: tuple, name: str) -> list:
             outs = []
@@ -270,20 +311,27 @@ class PoseHighResolutionNet(nn.Module):
                 )(xs, train)
             return xs
 
-        xs = transition([x], (256,), tuple(cfg.stage2.num_channels), "transition1")
-        xs = stage(xs, cfg.stage2, "stage2")
+        with self._prec("stage2"):
+            xs = transition([x], (256,), tuple(cfg.stage2.num_channels),
+                            "transition1")
+            xs = stage(xs, cfg.stage2, "stage2")
         if self.stop_after == "stage2":
             return xs[0]
-        xs = transition(xs, tuple(cfg.stage2.num_channels),
-                        tuple(cfg.stage3.num_channels), "transition2")
-        xs = stage(xs, cfg.stage3, "stage3")
+        xs = self._cast_after("stage2", xs)
+        with self._prec("stage3"):
+            xs = transition(xs, tuple(cfg.stage2.num_channels),
+                            tuple(cfg.stage3.num_channels), "transition2")
+            xs = stage(xs, cfg.stage3, "stage3")
         if self.stop_after == "stage3":
             return xs[0]
-        xs = transition(xs, tuple(cfg.stage3.num_channels),
-                        tuple(cfg.stage4.num_channels), "transition3")
-        xs = stage(xs, cfg.stage4, "stage4")
+        xs = self._cast_after("stage3", xs)
+        with self._prec("stage4"):
+            xs = transition(xs, tuple(cfg.stage3.num_channels),
+                            tuple(cfg.stage4.num_channels), "transition3")
+            xs = stage(xs, cfg.stage4, "stage4")
         if self.stop_after == "stage4":
             return xs[0]
+        xs = self._cast_after("stage4", xs)
 
         # heads (deployed: downsample=False, use_conv=True -> upsample_stage_k,
         # hrnet.py:341-344, 519-524)
@@ -302,10 +350,11 @@ class PoseHighResolutionNet(nn.Module):
                     z = nn.relu(z)
                 return z
 
-            x1 = up_head(xs[1], 1, "upsample_stage_2")
-            x2 = up_head(xs[2], 2, "upsample_stage_3")
-            x3 = up_head(xs[3], 3, "upsample_stage_4")
-            return jnp.concatenate([xs[0], x1, x2, x3], axis=-1)
+            with self._prec("heads"):
+                x1 = up_head(xs[1], 1, "upsample_stage_2")
+                x2 = up_head(xs[2], 2, "upsample_stage_3")
+                x3 = up_head(xs[3], 3, "upsample_stage_4")
+                return jnp.concatenate([xs[0], x1, x2, x3], axis=-1)
         elif cfg.downsample and cfg.use_conv:
             def down_head(z: Array, reps: int, name: str) -> Array:
                 ch = z.shape[-1]

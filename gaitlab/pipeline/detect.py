@@ -6,10 +6,10 @@ This framework makes the detector *pluggable*:
 
   * `Detector` — the protocol: frames (N,H,W,3) uint8 RGB ->
     list of (K_i, 5) [x1,y1,x2,y2,score] arrays.
-  * `YoloTinyDetector` — the in-repo neural detector: a Flax YOLOv3-tiny
-    (gaitlab.nn.yolo) with a darknet `.weights` importer, filtered to the
-    person class and NMS'd — the TPU-native stand-in for the reference's
-    downloaded YOLOv3 (/root/reference/demo.py:89-97).
+  * `YoloDetector` — the in-repo neural detector: a Flax YOLOv3 (full
+    or tiny variant, gaitlab.nn.yolo) with a darknet `.weights` importer,
+    filtered to the person class and NMS'd — the TPU-native stand-in for
+    the reference's downloaded full YOLOv3 (/root/reference/demo.py:89-97).
   * `MedianBackgroundDetector` — a self-contained, dependency-free
     fallback for static-camera clips (the dementia-clinic gait videos the
     reference targets are fixed-camera corridor walks): temporal-median
@@ -89,27 +89,33 @@ def _nms(boxes: np.ndarray, scores: np.ndarray, iou_thr: float) -> list:
     return keep
 
 
-class YoloTinyDetector:
-    """In-repo neural person detector: Flax YOLOv3-tiny on the accelerator.
+class YoloDetector:
+    """In-repo neural person detector: Flax YOLOv3 on the accelerator.
 
     TPU-native replacement for the reference's downloaded YOLOv3
     (/root/reference/demo.py:89-97): frames are letterboxed to a static
     square input on host, the network runs as one jitted batch program
     (gaitlab.nn.yolo), and person-class filtering + NMS run on host.
-    Weights: any standard public `yolov3-tiny.weights` darknet file
-    (gaitlab.nn.yolo.load_darknet_weights).
+    Weights: any standard public darknet file — full `yolov3.weights`
+    (the reference's actual detector) or `yolov3-tiny.weights`; the
+    variant is auto-detected from the file size when not given.
     """
 
     def __init__(self, weights_path: Optional[str] = None,
                  input_size: int = 416, score_threshold: float = 0.4,
                  nms_threshold: float = 0.45, batch: int = 12,
-                 seed: int = 0):
+                 seed: int = 0, variant: Optional[str] = None):
         import jax
         import jax.numpy as jnp
 
         from gaitlab.nn import yolo
 
-        self.module = yolo.YoloV3Tiny()
+        if variant is None:
+            variant = (yolo.infer_variant(weights_path)
+                       if weights_path else "tiny")
+        self.variant = variant
+        self.module = (yolo.YoloV3() if variant == "v3"
+                       else yolo.YoloV3Tiny())
         self.input_size = int(input_size)
         self.score_threshold = float(score_threshold)
         self.nms_threshold = float(nms_threshold)
@@ -118,8 +124,13 @@ class YoloTinyDetector:
             jax.random.PRNGKey(seed),
             jnp.zeros((1, self.input_size, self.input_size, 3), jnp.float32))
         if weights_path:
-            variables = yolo.load_darknet_weights(weights_path, variables)
-        self.variables = variables
+            variables = yolo.load_darknet_weights(
+                weights_path, variables, layers=self.module.layers)
+        # pin on device once: load_darknet_weights returns host numpy, and
+        # re-uploading the weights (33-237 MB) through the tunneled H2D
+        # link per 12-frame batch would dominate the traffic the uint8
+        # letterbox feed is meant to reduce
+        self.variables = jax.device_put(variables)
         # uint8 frames cross the (slow, tunneled) H2D link; the /255
         # normalization fuses into the first conv in-graph — 4x less
         # upload than shipping f32 letterboxed frames
@@ -176,6 +187,11 @@ class YoloTinyDetector:
             out.append(np.concatenate(
                 [boxes[keep], conf[keep, None]], axis=1).astype(np.float32))
         return out
+
+
+# Backward-compatible name (round-2 API); the class now serves both
+# variants, defaulting to tiny when no weights identify one.
+YoloTinyDetector = YoloDetector
 
 
 class DnnPersonDetector:
@@ -242,15 +258,17 @@ def get_detector(name: str = "median_bg", input_size: Optional[int] = None,
                  batch: Optional[int] = None, **kw) -> "Detector":
     """Detector factory for the CLI --detector flag.
 
-    'yolo' runs the in-repo Flax YOLOv3-tiny when weights are available —
-    $GAITLAB_YOLO_WEIGHTS, or `yolov3-tiny.weights` under the asset dir
-    (gaitlab.pipeline.fetch) — else DnnPersonDetector for a user-supplied
-    $GAITLAB_DETECTOR_MODEL (.onnx etc.), else falls back to the offline
-    median-background detector (this environment cannot download YOLO
-    weights). input_size/batch map the reference's --yolo_img_size /
-    --tracker_batch_size operating points (demo.py:409-413) onto whichever
-    neural detector is selected; the median-background fallback has no use
-    for them."""
+    'yolo' runs the in-repo Flax YOLOv3 when weights are available —
+    $GAITLAB_YOLO_WEIGHTS, or `yolov3.weights` / `yolov3-tiny.weights`
+    under the asset dir (gaitlab.pipeline.fetch; the full file matches the
+    reference's actual detector, tiny is the cheap variant; the variant is
+    auto-detected from the file) — else DnnPersonDetector for a
+    user-supplied $GAITLAB_DETECTOR_MODEL (.onnx etc.), else falls back to
+    the offline median-background detector (this environment cannot
+    download YOLO weights). input_size/batch map the reference's
+    --yolo_img_size / --tracker_batch_size operating points
+    (demo.py:409-413) onto whichever neural detector is selected; the
+    median-background fallback has no use for them."""
     import os
 
     if name == "yolo":
@@ -258,16 +276,18 @@ def get_detector(name: str = "median_bg", input_size: Optional[int] = None,
         if not weights:
             from gaitlab.pipeline import fetch
 
-            try:
-                weights = fetch.resolve_asset("yolov3-tiny.weights")
-            except FileNotFoundError:
-                weights = None
+            for fname in ("yolov3.weights", "yolov3-tiny.weights"):
+                try:
+                    weights = fetch.resolve_asset(fname)
+                    break
+                except FileNotFoundError:
+                    weights = None
         if weights:
             if input_size:
                 kw.setdefault("input_size", int(input_size))
             if batch:
                 kw.setdefault("batch", int(batch))
-            return YoloTinyDetector(weights_path=weights, **kw)
+            return YoloDetector(weights_path=weights, **kw)
         model = os.environ.get("GAITLAB_DETECTOR_MODEL")
         if model:
             if input_size:

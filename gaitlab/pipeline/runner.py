@@ -167,9 +167,9 @@ class GRNetRunner:
         """Model variables, device-resident; pre-cast once when a trunk
         dtype is set. Refreshes if model.variables is reassigned (e.g.
         weight reload through the api)."""
-        if getattr(self, "_dev_vars_src", None) is not id(self.model.variables):
+        if getattr(self, "_dev_vars_src", None) is not self.model.variables:
             self._dev_vars = None
-            self._dev_vars_src = id(self.model.variables)
+            self._dev_vars_src = self.model.variables
         if getattr(self, "_dev_vars", None) is None:
             variables = self.model.variables
             if self.trunk_dtype:

@@ -53,7 +53,6 @@ def run_video_onepass(
     detector=None,
     chunk: int = 32,
     min_frames: int = MIN_NUM_FRAMES,
-    bbox_scale: float = 1.0,
     fit_frames: int = 64,
     max_age: int = 1,
     min_hits: int = 3,
@@ -109,7 +108,10 @@ def run_video_onepass(
             for row in rows:
                 pid = int(row[4])
                 st = states.setdefault(pid, _TrackState())
-                bb = xyxy_to_cxcywh_square(row[:4], bbox_scale)
+                # square stored UNscaled (track_video default); the single
+                # enlargement knob is runner.bbox_scale applied at crop
+                # time, exactly like run_track
+                bb = xyxy_to_cxcywh_square(row[:4], 1.0)
                 st.frames.append(fidx)
                 st.bboxes.append(bb)
                 crop = runner._host_crop(frames[i : i + 1],

@@ -116,43 +116,111 @@ def torch_reference_outputs(ref, images_nchw: np.ndarray) -> dict:
     return {k: np.concatenate([o[k] for o in outs]) for k in outs[0]}
 
 
-def make_forward(model, mode: str):
-    """One jitted crop->outputs forward for a named precision mode."""
-    import jax
-    import jax.numpy as jnp
+REGIONS = ("stem", "layer1", "stage2", "stage3", "stage4", "heads")
 
-    from gaitlab.nn.grnet import vp_regress
+_STEM_KEYS = ("conv1", "bn1", "conv2", "bn2")
 
-    module, smpl = model.module, model.smpl
 
-    def prec(p):
-        return (jax.default_matmul_precision(p) if p != "default"
-                else contextlib.nullcontext())
+def parse_mode(mode: str):
+    """Mode -> (bb_p, hd_p, sm_p, regions, trunk16, f32_stem).
 
-    trunk_16 = mode.startswith("bf16trunk")
+    Grammar (beyond the round-2 named modes):
+      A:<region>       backbone "high" with ONE region at single-pass
+                       default, head+SMPL f32 — per-region bf16
+                       sensitivity, isolated from head error.
+      B:<r1+r2+...>    backbone default with the listed regions at
+                       "high", head "high", SMPL f32 — candidate
+                       production mixes.
+      bb_high+head_default   judge-requested: error provably lives in the
+                       backbone, so run the head at single-pass bf16.
+      bf16trunk+f32stem      bf16 weights/activations everywhere EXCEPT
+                       the stem (f32 params + HIGH precision), testing
+                       whether first-layer rounding seeds the bf16 error.
+    """
+    regions = ()
+    trunk16 = False
+    f32_stem = False
     if mode in ("default", "high", "float32"):
         bb_p = hd_p = sm_p = mode
     elif mode == "bf16trunk":
         bb_p = hd_p = "default"
         sm_p = "float32"
+        trunk16 = True
     elif mode == "bf16trunk+high":
         bb_p = hd_p = "high"
         sm_p = "float32"
+        trunk16 = True
+    elif mode == "bf16trunk+f32stem":
+        bb_p = hd_p = "default"
+        sm_p = "float32"
+        trunk16 = True
+        f32_stem = True
+        regions = (("stem", "high"),)
     elif mode == "backbone_high+rest_f32":
         bb_p, hd_p, sm_p = "high", "float32", "float32"
     elif mode == "backbone_default+rest_f32":
         bb_p, hd_p, sm_p = "default", "float32", "float32"
+    elif mode == "bb_high+head_default":
+        bb_p, hd_p, sm_p = "high", "default", "float32"
+    elif mode.startswith("A:"):
+        bb_p, hd_p, sm_p = "high", "float32", "float32"
+        regions = ((mode[2:], "default"),)
+    elif mode.startswith("B:"):
+        bb_p, hd_p, sm_p = "default", "high", "float32"
+        regions = tuple((r, "high") for r in mode[2:].split("+") if r)
     else:
         raise ValueError(mode)
+    return bb_p, hd_p, sm_p, regions, trunk16, f32_stem
+
+
+def make_forward(model, mode: str):
+    """One jitted crop->outputs forward for a named precision mode."""
+    import jax
+    import jax.numpy as jnp
+
+    from gaitlab.nn.grnet import GRNetCore, vp_regress
+
+    bb_p, hd_p, sm_p, regions, trunk16, f32_stem = parse_mode(mode)
+    smpl = model.smpl
+    module = model.module
+    if regions or f32_stem:
+        # same param structure/names — the study's imported variables
+        # apply unchanged to the re-configured module
+        module = GRNetCore(
+            backbone_region_precision=regions,
+            backbone_cast_after=(("stem", "bfloat16"),) if f32_stem else ())
+
+    def prec(p):
+        return (jax.default_matmul_precision(p) if p != "default"
+                else contextlib.nullcontext())
 
     def fwd(variables, smpl, images, bias):
         x = images + bias
-        if trunk_16:
-            variables = jax.tree_util.tree_map(
-                lambda v: (v.astype(jnp.bfloat16)
-                           if jnp.issubdtype(v.dtype, jnp.floating) else v),
-                variables)
-            x = x.astype(jnp.bfloat16)
+        if trunk16:
+            if f32_stem:
+                # stem params stay f32; everything downstream bf16 (the
+                # activation boundary cast lives in the backbone cfg)
+                import jax.tree_util as jtu
+
+                def cast_leaf(path, v):
+                    # stem = conv1/bn1/conv2/bn2 DIRECTLY under backbone
+                    # (every BasicBlock also has conv1/bn1 names)
+                    keys = [getattr(p, "key", None) for p in path]
+                    in_stem = any(
+                        a == "backbone" and b in _STEM_KEYS
+                        for a, b in zip(keys, keys[1:]))
+                    if in_stem or not jnp.issubdtype(v.dtype, jnp.floating):
+                        return v
+                    return v.astype(jnp.bfloat16)
+
+                variables = jtu.tree_map_with_path(cast_leaf, variables)
+            else:
+                variables = jax.tree_util.tree_map(
+                    lambda v: (v.astype(jnp.bfloat16)
+                               if jnp.issubdtype(v.dtype, jnp.floating)
+                               else v),
+                    variables)
+                x = x.astype(jnp.bfloat16)
         with prec(bb_p):
             feats = module.apply(variables, x, train=False,
                                  method=lambda m, im, train: m.backbone(
@@ -202,11 +270,9 @@ def main():
     variables, smpl = jax.device_put((model.variables, model.smpl), dev)
     x = jax.device_put(jnp.asarray(nhwc), dev)
 
-    modes = ["float32", "high", "backbone_high+rest_f32",
-             "backbone_default+rest_f32", "default", "bf16trunk",
-             "bf16trunk+high"]
     results = []
-    for mode in modes:
+
+    def measure(mode: str) -> dict:
         fwd = make_forward(model, mode)
         t0 = time.perf_counter()
         out = fwd(variables, smpl, x, jnp.zeros(()))
@@ -234,11 +300,47 @@ def main():
         fps = BATCH * ITERS / dt
         log(f"[{mode}] MPJPE {mpjpe:.4f} mm  PVE {pve:.4f} mm  "
             f"{dt / ITERS * 1e3:.1f} ms/iter  {fps:.0f} fps")
-        results.append({"mode": mode, "mpjpe_mm": round(mpjpe, 4),
-                        "pve_mm": round(pve, 4),
-                        "ms_per_iter": round(dt / ITERS * 1e3, 2),
-                        "fps_per_chip": round(fps, 1),
-                        "within_0.5mm": mpjpe <= 0.5})
+        r = {"mode": mode, "mpjpe_mm": round(mpjpe, 4),
+             "pve_mm": round(pve, 4),
+             "ms_per_iter": round(dt / ITERS * 1e3, 2),
+             "fps_per_chip": round(fps, 1),
+             "within_0.5mm": mpjpe <= 0.5}
+        results.append(r)
+        return r
+
+    # -- phase 1: whole-model + stage-split modes (round-2 set, for
+    #    continuity) + the judge-requested additions -----------------------
+    modes = ["float32", "high", "backbone_high+rest_f32",
+             "backbone_default+rest_f32", "default", "bf16trunk",
+             "bf16trunk+high", "bf16trunk+f32stem", "bb_high+head_default"]
+    # per-region bf16 sensitivity: backbone "high" with exactly one region
+    # at single-pass default (head/SMPL f32 so deltas are attributable)
+    modes += [f"A:{r}" for r in REGIONS]
+    for mode in modes:
+        measure(mode)
+
+    # -- phase 2 (adaptive): candidate production mixes -------------------
+    # Rank regions by their measured bf16 sensitivity; try keeping only
+    # the top-k sensitive regions at "high" (rest single-pass default)
+    # until a candidate fits the 0.5 mm budget, then try shaving one more.
+    base = next(r for r in results if r["mode"] == "backbone_high+rest_f32")
+    sens = sorted(
+        ((r["mode"][2:], r["mpjpe_mm"] - base["mpjpe_mm"])
+         for r in results if r["mode"].startswith("A:")),
+        key=lambda t: -t[1])
+    log("region sensitivity (mm over all-high backbone): "
+        + ", ".join(f"{n}={d:+.3f}" for n, d in sens))
+    ranked = [n for n, _ in sens]
+    tried = set()
+    for k in range(1, len(ranked) + 1):
+        regs = sorted(ranked[:k])
+        mode = "B:" + "+".join(regs)
+        if mode in tried:
+            continue
+        tried.add(mode)
+        r = measure(mode)
+        if r["within_0.5mm"]:
+            break  # smallest qualifying high-set found
 
     out_path = osp.join(repo, "docs", "PRECISION.json")
     with open(out_path, "w") as f:

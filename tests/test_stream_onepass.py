@@ -82,7 +82,10 @@ def test_onepass_matches_twopass(monkeypatch, tmp_path):
     make_synthetic_video(vid, n=48)
 
     model = GRNet.create()
-    runner = GRNetRunner(model, fetch=("theta", "kp_3d"), crop_on="host")
+    # non-default bbox_scale: regression for the double-enlargement bug
+    # (one-pass must apply the scale ONCE at crop time, like run_track)
+    runner = GRNetRunner(model, fetch=("theta", "kp_3d"), crop_on="host",
+                         bbox_scale=1.15)
 
     one = stream.run_video_onepass(runner, vid, fit_frames=48)
     assert len(one) == 1, "synthetic single-person clip must yield 1 track"
@@ -191,9 +194,11 @@ def test_onepass_gait_branch(monkeypatch, tmp_path):
 
 
 @pytest.mark.slow
-def test_demo_cli_onepass(tmp_path, monkeypatch):
+def test_demo_cli_onepass(tmp_path, monkeypatch, capsys):
     """--onepass end to end: single-decode pipeline, reference pkl schema."""
     import joblib
+    import re
+    import time
 
     monkeypatch.setenv("GAITLAB_BUCKETS", "64")
     from gaitlab.cli import demo
@@ -210,7 +215,20 @@ def test_demo_cli_onepass(tmp_path, monkeypatch):
         "--joint_type", "kinectv2",
         "--detector", "median_bg",
     ])
+    t0 = time.time()
     results = demo.main(args)
+    wall = time.time() - t0
+    # FPS accounting regression: the printed VIBE FPS must be FRAMES per
+    # second (union of frame ids / model wall), not tracks per second.
+    out = capsys.readouterr().out
+    m = re.search(r"VIBE FPS: ([0-9.]+)", out)
+    assert m, out
+    fps = float(m.group(1))
+    n_covered = len({int(f) for r in results.values()
+                     for f in r["frame_ids"]})
+    # model wall <= total wall, so frames/total_wall is a hard lower bound
+    assert fps >= n_covered / wall * 0.99, (fps, n_covered, wall)
+    assert fps <= n_covered / 1e-3  # sanity ceiling
     assert len(results) >= 1
     person = next(iter(results.values()))
     n = person["frame_ids"].shape[0]

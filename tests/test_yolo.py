@@ -178,6 +178,147 @@ def test_get_detector_forwards_operating_point(tmp_path, monkeypatch,
     assert det.batch == 4
 
 
+def test_v3_table_matches_public_cfg():
+    """The generated yolov3 table must reproduce the public cfg exactly:
+    107 layers, known route/shortcut targets, and a payload float count
+    equal to the stock yolov3.weights file (248007048 bytes on disk =
+    62001757 floats after the 20-byte header). Same check for tiny
+    (35434956 bytes = 8858734 floats)."""
+    from gaitlab.nn import yolo
+
+    t = yolo.v3_layers()
+    assert len(t) == 107
+    assert t[82] == ("yolo", yolo.V3_ANCHORS_32)
+    assert t[94] == ("yolo", yolo.V3_ANCHORS_16)
+    assert t[106] == ("yolo", yolo.V3_ANCHORS_8)
+    assert t[83] == ("route", (-4,))
+    assert t[86] == ("route", (-1, 61))
+    assert t[98] == ("route", (-1, 36))
+    assert sum(1 for e in t if e[0] == "shortcut") == 23  # darknet-53
+    assert yolo.expected_float_count(t) == 62001757
+    assert yolo.expected_float_count(yolo.tiny_layers()) == 8858734
+
+
+def test_infer_variant(tmp_path):
+    from gaitlab.nn import yolo
+
+    # fabricate files with the exact payload sizes
+    for n, want in ((8858734, "tiny"), (62001757, "v3")):
+        path = str(tmp_path / f"{want}.weights")
+        with open(path, "wb") as f:
+            f.write(b"\0" * (20 + 4 * n))
+        assert yolo.infer_variant(path) == want
+    bad = str(tmp_path / "bad.weights")
+    with open(bad, "wb") as f:
+        f.write(b"\0" * 1000)
+    with pytest.raises(ValueError):
+        yolo.infer_variant(bad)
+
+
+@pytest.fixture(scope="module")
+def v3_module_and_vars():
+    """Full yolov3 at a small input size (cheap on the CPU backend; conv
+    grids stay valid at any multiple of 32)."""
+    from gaitlab.nn import yolo
+
+    module = yolo.YoloV3()
+    variables = module.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, 160, 160, 3), jnp.float32))
+    return module, variables
+
+
+def test_v3_output_shapes(v3_module_and_vars):
+    from gaitlab.nn import yolo
+
+    module, variables = v3_module_and_vars
+    x = jnp.zeros((1, 160, 160, 3), jnp.float32)
+    maps = module.apply(variables, x)
+    assert [m.shape for m in maps] == [
+        (1, 5, 5, 255), (1, 10, 10, 255), (1, 20, 20, 255)]
+    d = yolo.detect(module, variables, x)
+    assert d.shape == (1, (25 + 100 + 400) * 3, 85)
+
+
+def test_v3_darknet_roundtrip(tmp_path, v3_module_and_vars, rng):
+    """save -> load of the FULL topology (residuals, 3 scales, 75 convs)
+    reproduces every parameter bit-exactly."""
+    from gaitlab.nn import yolo
+
+    module, variables = v3_module_and_vars
+    noised = jax.tree_util.tree_map(
+        lambda v: jnp.asarray(rng.normal(size=v.shape), v.dtype), variables)
+    path = str(tmp_path / "yolov3.weights")
+    yolo.save_darknet_weights(path, noised, layers=module.layers)
+    assert yolo.infer_variant(path) == "v3"
+
+    loaded = yolo.load_darknet_weights(path, variables,
+                                       layers=module.layers)
+    flat_a = jax.tree_util.tree_leaves_with_path(noised)
+    flat_b = dict(jax.tree_util.tree_leaves_with_path(loaded))
+    for path_k, leaf in flat_a:
+        np.testing.assert_array_equal(np.asarray(leaf),
+                                      np.asarray(flat_b[path_k]),
+                                      err_msg=str(path_k))
+
+
+def test_v3_decode_closed_form(v3_module_and_vars):
+    """Constant-head closed form through the full network: residual adds
+    and route concats must not disturb the darknet decode chain."""
+    from gaitlab.nn import yolo
+
+    module, variables = v3_module_and_vars
+    p = _constant_head_variables(variables)
+    x = jnp.zeros((1, 160, 160, 3), jnp.float32)
+    d = np.asarray(yolo.detect(module, p, x))[0]
+
+    sig3 = 1.0 / (1.0 + np.exp(-3.0))
+    # scale order is coarse->fine: stride 32, 16, 8
+    offsets = [0, 5 * 5 * 3, 5 * 5 * 3 + 10 * 10 * 3]
+    strides = [32, 16, 8]
+    anchor_sets = [yolo.V3_ANCHORS_32, yolo.V3_ANCHORS_16, yolo.V3_ANCHORS_8]
+    for off, s, anchors in zip(offsets, strides, anchor_sets):
+        row = d[off]
+        assert np.isclose(row[0], 0.5 * s) and np.isclose(row[1], 0.5 * s)
+        np.testing.assert_allclose(row[2:4], anchors[0], rtol=1e-5)
+        assert np.isclose(row[4], sig3, atol=1e-6)
+        assert np.isclose(row[5], sig3, atol=1e-6)
+        assert row[6] < 1e-4
+
+
+@pytest.mark.slow
+def test_v3_detector_end_to_end(tmp_path, monkeypatch, v3_module_and_vars):
+    """--detector yolo with a full-v3 .weights file runs end to end
+    (VERDICT r2 next-step #3): the factory auto-detects the variant from
+    the file, letterboxes, decodes all three scales, NMS's, and SORT
+    consumes the boxes — the reference's operating point
+    (/root/reference/demo.py:409-413) on the in-repo network."""
+    from gaitlab.nn import yolo
+    from gaitlab.pipeline import detect, tracks
+
+    module, variables = v3_module_and_vars
+    p = _constant_head_variables(variables)
+    path = str(tmp_path / "yolov3.weights")
+    yolo.save_darknet_weights(path, p, layers=module.layers)
+
+    monkeypatch.setenv("GAITLAB_YOLO_WEIGHTS", path)
+    det = detect.get_detector("yolo", input_size=160, batch=2)
+    assert isinstance(det, detect.YoloDetector)
+    assert det.variant == "v3"
+
+    frames = np.zeros((4, 120, 160, 3), np.uint8)  # non-square: letterbox
+    dets = det(frames)
+    assert len(dets) == 4
+    for d in dets:
+        assert d.ndim == 2 and d.shape[1] == 5
+        assert len(d) > 0
+        x1, y1, x2, y2, score = d[0]
+        assert x2 > x1 and y2 > y1
+        assert 0.9 < score <= 1.0
+
+    result = tracks.track_video(dets)
+    assert result
+
+
 def test_demo_runner_kwargs_cap_buckets():
     """--grnet_batch_size caps the runner bucket set (demo.py:415-416)."""
     from gaitlab.cli import demo
