@@ -30,7 +30,18 @@ every section (forced-materialization timing — a bare device_put returns
 before the transfer completes and shows fake GB/s) and each section's
 probe is recorded next to its numbers; interpret cross-section
 comparisons through those probes. Stage walls end at real data
-materialization (np.asarray of outputs).
+materialization (np.asarray of outputs). Each main section runs THREE
+times; the canonical number is the MEDIAN (all runs + their probes are
+recorded — VERDICT r2 next-step #10).
+
+**Roofline section** (VERDICT r2 next-step #4): per-stage standalone
+capacities — host decode, detect, crop (all with frames in RAM), the
+chip-side model rate with crops PRE-STAGED on device (a dependency-chain
+loop the tunnel cannot pollute), and computed H2D/D2H caps — combined
+into implied end-to-end fps at the measured link and at 1/10/40 GB/s,
+for both this 1-core serial host and a production parallel host. This is
+the measured bridge between the tunnel-bound sustained number and the
+"chip-bound elsewhere" claim.
 
 Writes docs/BENCH_E2E.json and prints a one-line JSON summary.
 """
@@ -91,6 +102,10 @@ def link_probe(jax, probes: list, section: str) -> float:
     return mbps
 
 
+def median(xs):
+    return sorted(xs)[len(xs) // 2]
+
+
 def main():
     import jax
     import joblib
@@ -111,8 +126,24 @@ def main():
         log("building benchmark clip (one-time)...")
         make_clip(clip)
 
-    stages: dict[str, float] = {}
+    stages: dict[str, float] = {}       # MEDIAN wall per section
+    stage_runs: dict[str, list] = {}    # all runs (link-weather record)
     probes: list = []
+    repeats = int(os.environ.get("GAITLAB_BENCH_REPEATS", "3"))
+
+    def timed(section: str, fn, n_runs: int = None):
+        """Run fn() n_runs times with a link probe before each; stages[k]
+        = median wall, stage_runs[k] = every wall. Returns last result."""
+        n_runs = repeats if n_runs is None else n_runs
+        walls, result = [], None
+        for _ in range(n_runs):
+            link_probe(jax, probes, section)
+            t0 = time.perf_counter()
+            result = fn()
+            walls.append(time.perf_counter() - t0)
+        stages[section] = median(walls)
+        stage_runs[section] = [round(w, 2) for w in walls]
+        return result
 
     # ---- model + runners + warmup (compile all bucket programs) ---------
     model = GRNet.create()
@@ -140,47 +171,43 @@ def main():
 
     # ---- 1. one-pass architecture: single decode ------------------------
     for variant, runner in runners.items():
-        link_probe(jax, probes, f"onepass_{variant}")
-        t0 = time.perf_counter()
-        res = stream.run_video_onepass(runner, clip)
-        stages[f"onepass_{variant}"] = time.perf_counter() - t0
+        res = timed(f"onepass_{variant}",
+                    lambda r=runner: stream.run_video_onepass(r, clip))
         n1 = max(len(r["frames"]) for r in res.values()) if res else 0
         log(f"onepass[{variant}]: {n1}-frame track, "
-            f"{stages[f'onepass_{variant}']:.1f}s "
+            f"{stages[f'onepass_{variant}']:.1f}s median of "
+            f"{stage_runs[f'onepass_{variant}']} "
             f"({N_FRAMES / stages[f'onepass_{variant}']:.0f} fps)")
 
     # ---- 2. streaming two-pass ------------------------------------------
-    link_probe(jax, probes, "track_stream")
-    t0 = time.perf_counter()
-    sdetector = detect.MedianBackgroundDetector().fit(head)
+    def run_track_stream():
+        sdetector = detect.MedianBackgroundDetector().fit(head)
 
-    def det_stream_vid():
-        for chunk in video.VideoChunkReader(clip, chunk=64,
-                                            reuse_buffers=True):
-            yield from sdetector(chunk)
+        def det_stream_vid():
+            for chunk in video.VideoChunkReader(clip, chunk=64,
+                                                reuse_buffers=True):
+                yield from sdetector(chunk)
 
-    tracking_s = tracks.track_video(det_stream_vid())
-    stages["track_stream"] = time.perf_counter() - t0
+        return tracks.track_video(det_stream_vid())
+
+    tracking_s = timed("track_stream", run_track_stream)
     pid_s = max(tracking_s, key=lambda k: len(tracking_s[k]["frames"]))
     bboxes_s = np.asarray(tracking_s[pid_s]["bbox"], np.float32)
     ids_s = np.asarray(tracking_s[pid_s]["frames"])
     nts = len(bboxes_s)
     log(f"track_stream: {nts}-frame track, {stages['track_stream']:.1f}s "
-        f"({N_FRAMES / stages['track_stream']:.0f} fps)")
+        f"median ({N_FRAMES / stages['track_stream']:.0f} fps)")
 
     out = None
     for variant, runner in runners.items():
-        link_probe(jax, probes, f"model_stream_{variant}")
-        t0 = time.perf_counter()
-        o = runner.run_track(
+        o = timed(f"model_stream_{variant}", lambda r=runner: r.run_track(
             video.VideoChunkReader(clip, frame_ids=ids_s, chunk=32,
                                    reuse_buffers=True),
-            bboxes_s)
-        stages[f"model_stream_{variant}"] = time.perf_counter() - t0
+            bboxes_s))
         if variant == "joints":
             out = o
         log(f"model_stream[{variant}]: {nts} frames, "
-            f"{stages[f'model_stream_{variant}']:.1f}s "
+            f"{stages[f'model_stream_{variant}']:.1f}s median "
             f"({nts / stages[f'model_stream_{variant}']:.0f} fps)")
 
     # ---- 3. device-bound variant: frames already in RAM ------------------
@@ -190,15 +217,15 @@ def main():
     mem_n = 450
     mem_frames = np.stack([c for ch in video.VideoChunkReader(
         clip, frame_ids=ids_s[:mem_n], chunk=64) for c in ch])
+    full_out = None
     for variant, runner in runners.items():
-        link_probe(jax, probes, f"model_mem_{variant}")
         runner.run_track(mem_frames[:256], bboxes_s[:256])  # warm shapes
-        t0 = time.perf_counter()
-        for _ in range(2):
-            runner.run_track(mem_frames, bboxes_s[:mem_n])
-        stages[f"model_mem_{variant}"] = (time.perf_counter() - t0) / 2
+        o = timed(f"model_mem_{variant}",
+                  lambda r=runner: r.run_track(mem_frames, bboxes_s[:mem_n]))
+        if variant == "full":
+            full_out = o
         log(f"model_mem[{variant}]: {mem_n} frames, "
-            f"{stages[f'model_mem_{variant}']:.1f}s "
+            f"{stages[f'model_mem_{variant}']:.1f}s median "
             f"({mem_n / stages[f'model_mem_{variant}']:.0f} fps)")
 
     # ---- 4. postproc: coordinate + skeleton conversion -------------------
@@ -264,6 +291,99 @@ def main():
                 f"{stages[f'model_png_{variant}']:.1f}s "
                 f"({nt / stages[f'model_png_{variant}']:.0f} fps)")
 
+    # ---- 6. roofline: stage capacities + implied e2e vs link speed -------
+    # Each stage measured STANDALONE; the model rate uses crops pre-staged
+    # on device with a dependency-chained loop, so the tunnel cannot touch
+    # it. Implied e2e = min over stage caps, at several link bandwidths
+    # and for serial-1-core vs parallel (production) host execution.
+    import jax.numpy as jnp
+
+    log("roofline: measuring standalone stage capacities...")
+    roof = {}
+    rn = mem_n  # frames per standalone measurement
+
+    t0 = time.perf_counter()
+    got = 0
+    for chunk in video.VideoChunkReader(clip, chunk=64, reuse_buffers=True):
+        got += len(chunk)
+        if got >= rn:
+            break
+    roof["decode_fps"] = round(got / (time.perf_counter() - t0), 1)
+
+    rdet = detect.MedianBackgroundDetector().fit(head)
+    t0 = time.perf_counter()
+    for s0 in range(0, rn, 64):
+        rdet(mem_frames[s0 : s0 + 64])
+    roof["detect_fps"] = round(rn / (time.perf_counter() - t0), 1)
+
+    t0 = time.perf_counter()
+    crops_u8 = runners["joints"]._host_crop(mem_frames, bboxes_s[:rn], 1.0)
+    roof["crop_fps"] = round(rn / (time.perf_counter() - t0), 1)
+
+    # chip-side model rate: normalized crops resident on device, iteration
+    # i+1 consumes a scalar of iteration i (the axon-safe discipline)
+    from gaitlab.pipeline.crop import normalize_image
+
+    bucket = 256
+    jfwd = runners["joints"]._forward(bucket, raw_uint8=False)
+    rvars = runners["joints"]._trunk_variables()
+    rsmpl = runners["joints"]._smpl_params()
+    imgs = normalize_image(jnp.asarray(crops_u8[:bucket]))  # device f32
+    o = jfwd(rvars, rsmpl, imgs)   # warm/compile check (bucket cached)
+    float(np.asarray(o["theta"][0, 0]))
+    iters = 6
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        o = jfwd(rvars, rsmpl, imgs)
+        imgs = imgs + o["theta"][0, 0] * 1e-12   # device-side dependency
+    float(np.asarray(o["theta"][0, 0]))          # one host sync at the end
+    dt = time.perf_counter() - t0
+    roof["model_chip_fps"] = round(bucket * iters / dt, 1)
+
+    # D2H bandwidth probe (forced materialization of a device buffer)
+    dbuf = jax.device_put(jnp.zeros((12, 1024, 1024), jnp.uint8)) + 1
+    np.asarray(dbuf[:1])
+    t0 = time.perf_counter()
+    np.asarray(dbuf)
+    roof["d2h_MBps_measured"] = round(12.0 / (time.perf_counter() - t0), 1)
+    roof["h2d_MBps_measured"] = round(link_probe(jax, probes, "roofline"), 1)
+
+    # bytes crossing the link per frame
+    h2d_bpf = CROP_BYTES  # uint8 224-crop feed (crop_on="host")
+    d2h_bpf = {
+        "joints": int(sum(np.asarray(v).nbytes for v in out.values()) / nts),
+        "full": int(sum(np.asarray(v).nbytes
+                        for v in full_out.values()) / mem_n),
+    }
+    roof["h2d_bytes_per_frame"] = h2d_bpf
+    roof["d2h_bytes_per_frame"] = d2h_bpf
+
+    hs = (roof["decode_fps"], roof["detect_fps"], roof["crop_fps"])
+    host_caps = {
+        "serial_1core": round(1.0 / sum(1.0 / f for f in hs), 1),
+        "parallel_host": round(min(hs), 1),
+    }
+    roof["host_caps_fps"] = host_caps
+    table = []
+    for link_name, mbps in (("measured", roof["h2d_MBps_measured"]),
+                            ("1GBps", 1000.0), ("10GBps", 10000.0),
+                            ("40GBps", 40000.0)):
+        for host_name, host_fps in host_caps.items():
+            caps = {
+                "host": host_fps,
+                "h2d": mbps * 1e6 / h2d_bpf,
+                "model": roof["model_chip_fps"],
+                "d2h": mbps * 1e6 / d2h_bpf["joints"],
+            }
+            stage, fps = min(caps.items(), key=lambda kv: kv[1])
+            table.append({"link": link_name, "host": host_name,
+                          "implied_e2e_fps": round(fps, 1),
+                          "bottleneck": stage})
+            log(f"roofline[{link_name:>8}, {host_name:>13}]: "
+                f"{fps:7.1f} fps, bound by {stage}")
+    roof["table"] = table
+    log(f"roofline stage caps: {roof}")
+
     def e2e(*keys, frames=n):
         return round(frames / (sum(stages[k] for k in keys)
                                + stages["postproc"]), 1)
@@ -290,6 +410,10 @@ def main():
         "crop_feed_ceiling_fps_at_probe": [
             round(p["h2d_MBps"] * 1e6 / CROP_BYTES, 1) for p in probes],
         "stages_s": {k: round(v, 2) for k, v in stages.items()},
+        "stage_runs_s": stage_runs,
+        "section_policy": (f"median of {repeats} runs per section (PNG "
+                           "architecture sections: 1 run, cached)"),
+        "roofline": roof,
         "model_mem_fps": {
             "joints": round(450 / stages["model_mem_joints"], 1),
             "full": round(450 / stages["model_mem_full"], 1),

@@ -57,6 +57,8 @@ class GRNetCore(nn.Module):
     # Activation-dtype casts at backbone region boundaries (HRNetCfg
     # .cast_after) — the bf16-trunk hybrid knob.
     backbone_cast_after: tuple = ()
+    # Space-to-depth packed stem conv (HRNetCfg.stem_s2d experiment).
+    stem_s2d: bool = False
     freeze_backbone: bool = True
     use_gait_feat: bool = False      # reference grnet.py:40 default False
     use_pallas_attention: bool = False
@@ -72,7 +74,8 @@ class GRNetCore(nn.Module):
             HRNetCfg.w(self.backbone_width, downsample=False, use_conv=True,
                        pack_low_channel=self.pack_low_channel,
                        region_precision=self.backbone_region_precision,
-                       cast_after=self.backbone_cast_after),
+                       cast_after=self.backbone_cast_after,
+                       stem_s2d=self.stem_s2d),
             name="backbone",
         )
         self.head = PareHead(
@@ -214,8 +217,14 @@ class GRNet:
         seed: int = 0,
         joint_mode: str = "spin2",
         cache_init: bool = True,
+        init_img: int = 224,
         **module_kwargs,
     ) -> "GRNet":
+        """init_img sizes the crop the trunk is initialised (and must be
+        applied) at: the PARE head's locally-connected/attention params
+        depend on the feature-grid size (init_img // 4). 224 is the
+        deployed operating point; smaller values make cheap dryrun/test
+        models (pair with GRNetRunner(crop_size=init_img))."""
         module = GRNetCore(**module_kwargs)
         rng = jax.random.PRNGKey(seed)
         init_kwargs = {}
@@ -228,13 +237,14 @@ class GRNet:
             # minutes; params transfer to the accelerator on first use.
             with jax.default_device(jax.local_devices(backend="cpu")[0]):
                 return module.init(
-                    rng, jnp.zeros((1, 224, 224, 3), jnp.float32),
+                    rng, jnp.zeros((1, init_img, init_img, 3), jnp.float32),
                     **init_kwargs)
 
         if cache_init:
             from gaitlab.weights.cache import memo_tree
 
-            key = f"grnet-init|seed={seed}|{repr(module)}"
+            key = f"grnet-init|seed={seed}|{repr(module)}" + (
+                f"|img={init_img}" if init_img != 224 else "")
             variables = memo_tree(key, build)
         else:
             variables = build()

@@ -77,12 +77,18 @@ class HRNetCfg:
     # the bf16-trunk hybrid modes ("stem at f32, rest of the trunk in
     # bf16"): pair with param trees cast per-subtree outside the module.
     cast_after: tuple = ()
+    # Evaluate the first stem conv on the space-to-depth packed grid
+    # (StemConvS2D): identical math, weights interchangeable. Inference-
+    # only experiment for the 3-channel lane-starved stem (scripts/
+    # stem_s2d_bench.py) — see docs/PERFORMANCE.md for the measurement.
+    stem_s2d: bool = False
 
     @staticmethod
     def w(width: int = 32, downsample: bool = False, use_conv: bool = True,
           pack_low_channel: int = 0,
           region_precision: tuple = (),
-          cast_after: tuple = ()) -> "HRNetCfg":
+          cast_after: tuple = (),
+          stem_s2d: bool = False) -> "HRNetCfg":
         return HRNetCfg(
             width=width,
             downsample=downsample,
@@ -90,6 +96,7 @@ class HRNetCfg:
             pack_low_channel=pack_low_channel,
             region_precision=tuple(region_precision),
             cast_after=tuple(cast_after),
+            stem_s2d=stem_s2d,
             stage2=StageCfg(1, 2, (4, 4), (width, width * 2), "BASIC"),
             stage3=StageCfg(4, 3, (4, 4, 4), (width, width * 2, width * 4), "BASIC"),
             stage4=StageCfg(3, 4, (4, 4, 4, 4),
@@ -100,6 +107,54 @@ class HRNetCfg:
 # ---------------------------------------------------------------------------
 # blocks
 # ---------------------------------------------------------------------------
+
+class StemConvS2D(nn.Module):
+    """3x3 stride-2 stem conv evaluated on the space-to-depth packed grid.
+
+    The deployed stem conv sees (N,224,224,3): 3 channels in the minor
+    (lane) dimension is the worst-case TPU layout (3/128 lanes). This
+    module computes the SAME dot products as `nn.Conv(F,(3,3),(2,2))` by
+    packing 2x2 pixel blocks into channels — (N,112,112,12) — and running
+    a 2x2 stride-1 conv with the kernel rearranged (and zero-padded from
+    27 to 48 taps): original tap row 2*oy+ky-1 lands in packed row
+    oy+py-1, sub-row dy, with ky = 2*py+dy-1 (VERDICT r2 next-step #8 —
+    distinct from the measured-negative mid-trunk packing).
+
+    Param name and shape ('kernel', (3,3,Cin,F)) match nn.Conv exactly, so
+    torch-weight import and the standard path share variables unchanged.
+    """
+
+    features: int = 64
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        from gaitlab.nn.layers import space_to_depth
+
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (3, 3, cin, self.features))
+        xp = space_to_depth(x)  # channel index = (dy*2+dx)*cin + c
+        parts = []
+        for py in (0, 1):
+            row = []
+            for px in (0, 1):
+                # packed-tap kernel slice (4*cin, F) in s2d channel order
+                subs = []
+                for dy in (0, 1):
+                    for dx in (0, 1):
+                        ky, kx = 2 * py + dy - 1, 2 * px + dx - 1
+                        subs.append(kernel[ky, kx]
+                                    if 0 <= ky <= 2 and 0 <= kx <= 2
+                                    else jnp.zeros_like(kernel[0, 0]))
+                row.append(jnp.concatenate(subs, axis=0))
+            parts.append(jnp.stack(row, axis=0))
+        wp = jnp.stack(parts, axis=0)  # (2, 2, 4*cin, F)
+        return jax.lax.conv_general_dilated(
+            xp, wp, window_strides=(1, 1), padding=((1, 0), (1, 0)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
 
 class BasicBlock(nn.Module):
     planes: int
@@ -256,7 +311,11 @@ class PoseHighResolutionNet(nn.Module):
         cfg = self.cfg
         # stem: two stride-2 3x3 convs (hrnet.py:286-293)
         with self._prec("stem"):
-            x = conv(64, 3, 2, name="conv1")(x)
+            if (cfg.stem_s2d and not train
+                    and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0):
+                x = StemConvS2D(64, name="conv1")(x)
+            else:
+                x = conv(64, 3, 2, name="conv1")(x)
             x = batch_norm(train, name="bn1")(x)
             x = nn.relu(x)
             x = conv(64, 3, 2, name="conv2")(x)

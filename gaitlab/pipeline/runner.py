@@ -130,14 +130,21 @@ class GRNetRunner:
                     for k, v in out.items() if k in keep}
 
         if self.mesh is not None:
-            assert not gait, "mesh DP + gait branch not supported yet"
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             repl = NamedSharding(self.mesh, P())
             data = NamedSharding(self.mesh, P("data"))
-            jfwd = jax.jit(fwd,
-                           in_shardings=(repl, repl, data, None, None, None),
-                           out_shardings=repl)
+            if gait:
+                # conv trunk shards over "data"; the gait GRU is
+                # sequential in time, so GSPMD all-gathers the pooled
+                # per-frame features (a few KB/frame) before the scan —
+                # DP gains apply to the backbone+head, which is >95% of
+                # the FLOPs. bbox/cimg rows ride with their frames;
+                # n_valid is a replicated scalar.
+                in_sh = (repl, repl, data, data, data, repl)
+            else:
+                in_sh = (repl, repl, data, None, None, None)
+            jfwd = jax.jit(fwd, in_shardings=in_sh, out_shardings=repl)
         else:
             jfwd = jax.jit(fwd)
         self._fwd_cache[key] = jfwd

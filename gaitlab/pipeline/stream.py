@@ -16,9 +16,23 @@ long enough (MIN_NUM_FRAMES, demo.py:41), and from then on crops feed a
 GRNetRunner.open_stream() session whose forwards dispatch asynchronously —
 host decode of chunk i+1 overlaps device compute of chunk i.
 
-Semantic differences vs the two-pass demo path (documented, intentional):
-  * no smooth_tracking gap interpolation (tracks are used as SORT emits
-    them; SORT already rides through `max_age` missed frames);
+Gap-bridging parity with the reference two-pass flow
+(demo_utils.py:249-297 smooth_tracking, interv=5): smooth_tracking keeps
+in-track detection gaps of up to interv-1 = 4 frame ids in place and
+splits segments at longer gaps. Streaming SORT reproduces exactly that
+segment structure with `max_age = interv - 2 = 3` (a tracker survives m
+consecutive misses iff m <= max_age, so one id spans gaps of at most
+max_age+1 = interv-1 ids, and longer occlusions start a fresh id — the
+same boundary smooth_tracking's flush creates). That is the default
+here; tests/test_stream_onepass.py::test_onepass_gap_bridging asserts
+the one-track-across-a-3-frame-occlusion equivalence.
+
+Remaining semantic differences (documented, intentional):
+  * smooth_tracking additionally *interpolates* a long gap when the
+    accumulated segment is still short (<= MIN_NUM_FRAMES), synthesizing
+    bboxes for unseen frames; a single-decode streaming pipeline cannot
+    retroactively crop frames it has already discarded, so such rare
+    segments split instead;
   * the median-background detector, when not pre-fit, calibrates on the
     first `fit_frames` decoded frames instead of a whole-video sample.
 Use the two-pass CLI path when reference-exact tracking is required.
@@ -54,7 +68,7 @@ def run_video_onepass(
     chunk: int = 32,
     min_frames: int = MIN_NUM_FRAMES,
     fit_frames: int = 64,
-    max_age: int = 1,
+    max_age: int = 3,   # = smooth_tracking interv-2: see module docstring
     min_hits: int = 3,
     iou_threshold: float = 0.3,
 ) -> dict:
@@ -75,8 +89,11 @@ def run_video_onepass(
     gait = runner.model.module.use_gait_feat
     cimg_row = np.array([w * 0.5, h * 0.5], np.float32)
 
+    # reconfirm=False: a once-confirmed track re-emits immediately after
+    # an occlusion, so an m<=max_age-frame miss leaves exactly an (m+1)-id
+    # gap — the smooth_tracking-tolerated structure (module docstring)
     sort = tracks_mod.Sort(max_age=max_age, min_hits=min_hits,
-                           iou_threshold=iou_threshold)
+                           iou_threshold=iou_threshold, reconfirm=False)
     states: dict[int, _TrackState] = {}
     frame_base = 0
     fit_buf: list[np.ndarray] = []

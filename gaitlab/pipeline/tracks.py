@@ -105,13 +105,23 @@ def iou_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 
 class Sort:
-    """SORT multi-object tracker (Bewley et al. 2016 algorithm)."""
+    """SORT multi-object tracker (Bewley et al. 2016 algorithm).
+
+    reconfirm=True is the published behaviour: after ANY missed frame the
+    hit_streak resets and a track must re-earn min_hits consecutive
+    detections before being emitted again — so a single m-frame occlusion
+    leaves an (m + min_hits - 2 + 2)-frame hole. reconfirm=False keeps a
+    once-confirmed track (total hits >= min_hits) emitting immediately on
+    re-detection, so an m-frame occlusion leaves exactly an (m+1)-id gap —
+    the operating point the one-pass pipeline uses for smooth_tracking
+    gap parity (see gaitlab.pipeline.stream)."""
 
     def __init__(self, max_age: int = 1, min_hits: int = 3,
-                 iou_threshold: float = 0.3):
+                 iou_threshold: float = 0.3, reconfirm: bool = True):
         self.max_age = max_age
         self.min_hits = min_hits
         self.iou_threshold = iou_threshold
+        self.reconfirm = reconfirm
         self.trackers: list[KalmanBoxTracker] = []
         self.frame_count = 0
 
@@ -141,9 +151,11 @@ class Sort:
 
         out = []
         for t in list(self.trackers):
-            if t.time_since_update < 1 and (
-                t.hit_streak >= self.min_hits or self.frame_count <= self.min_hits
-            ):
+            confirmed = (t.hit_streak >= self.min_hits
+                         or self.frame_count <= self.min_hits)
+            if not self.reconfirm:
+                confirmed = confirmed or t.hits >= self.min_hits
+            if t.time_since_update < 1 and confirmed:
                 out.append(np.concatenate([t.get_state(), [t.id]]))
             if t.time_since_update > self.max_age:
                 self.trackers.remove(t)
@@ -168,13 +180,15 @@ def track_video(
     min_hits: int = 3,
     iou_threshold: float = 0.3,
     bbox_scale: float = 1.0,
+    reconfirm: bool = True,
 ) -> dict:
     """Per-frame detections -> MPT-style tracking dict.
 
     detections: iterable over frames of (N_i, 4|5) xyxy[+score] arrays.
     Returns {person_id: {'bbox': (N,4) square cxcywh, 'frames': (N,) int}}.
     """
-    sort = Sort(max_age=max_age, min_hits=min_hits, iou_threshold=iou_threshold)
+    sort = Sort(max_age=max_age, min_hits=min_hits,
+                iou_threshold=iou_threshold, reconfirm=reconfirm)
     acc: dict[int, dict] = {}
     for frame_idx, dets in enumerate(detections):
         dets = np.asarray(dets, np.float64).reshape(-1, dets.shape[-1] if np.size(dets) else 5)

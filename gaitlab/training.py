@@ -249,6 +249,144 @@ def synthetic_gait_batch(b: int, t: int = 32, j: int = 24, c: int = 16,
             "gait_phase": f32(gait_phase)}
 
 
+def synthetic_walker_clip(t: int, h: int = 128, w: int = 192,
+                          freq: float = 0.12, amp_deg: float = 28.0,
+                          speed: float = 1.5, seed: int = 0,
+                          phase0: float = 0.0):
+    """Render a t-frame clip of a 2D articulated walker with KNOWN gait.
+
+    The walker is a torso box + two legs + two arms swinging as pendulums
+    on a shared phase theta(i) = 2*pi*freq*i + phase0 (legs antiphase,
+    arms opposite the legs) while translating at `speed` px/frame — so
+    crop appearance is a deterministic function of the phase, and the
+    trunk's pose features carry recoverable gait signal (unlike the pure
+    sinusoid toys of synthetic_gait_batch).
+
+    Returns (frames uint8 (t,h,w,3), bboxes (t,4) cxcywh squares,
+    theta (t,) phase).
+    """
+    import cv2
+
+    rng = np.random.default_rng(seed)
+    bg = rng.integers(40, 70, size=(h, w, 3)).astype(np.uint8)
+    frames = np.empty((t, h, w, 3), np.uint8)
+    bboxes = np.empty((t, 4), np.float32)
+    theta = 2 * np.pi * freq * np.arange(t) + phase0
+    body_h, leg_len = int(h * 0.28), int(h * 0.3)
+    for i in range(t):
+        f = bg.copy()
+        cx = int(w * 0.2 + speed * i) % (w - 40) + 20
+        top = int(h * 0.12)
+        hip = (cx, top + body_h)
+        sh = (cx, top + int(body_h * 0.25))
+        cv2.rectangle(f, (cx - 9, top), (cx + 9, hip[1]),
+                      (205, 185, 175), -1)
+        cv2.circle(f, (cx, top - 10), 11, (198, 168, 158), -1)
+        a = np.deg2rad(amp_deg) * np.sin(theta[i])
+        for sign, origin, ln, col in (
+                (+1, hip, leg_len, (215, 195, 185)),
+                (-1, hip, leg_len, (185, 170, 160)),
+                (-1, sh, int(leg_len * 0.8), (215, 195, 185)),
+                (+1, sh, int(leg_len * 0.8), (185, 170, 160))):
+            end = (int(origin[0] + ln * np.sin(sign * a)),
+                   int(origin[1] + ln * np.cos(sign * a)))
+            cv2.line(f, origin, end, col, 7)
+        frames[i] = f
+        side = body_h + leg_len + 30
+        bboxes[i] = (cx, top + (body_h + leg_len) / 2.0, side, side)
+    return frames, bboxes, theta
+
+
+def calibrate_backbone_bn(module: GRNetCore, variables, images) -> dict:
+    """Replace the backbone's BatchNorm running stats with the EXACT batch
+    statistics of one train-mode pass over `images`.
+
+    Fresh-init running stats (mean 0, var 1) collapse a deep random-weight
+    conv stack into an input-INDEPENDENT function (CLAUDE.md; the torch
+    oracle needed the same treatment — scripts/precision_study.py
+    build_oracle). Flax updates stats as new = m*old + (1-m)*batch with
+    m=0.9, so one mutable pass + extrapolation b = (new - 0.9*old)/0.1
+    recovers the batch statistics exactly — no momentum loop needed.
+    """
+    _, mut = module.apply(
+        variables, images, train=True, mutable=["batch_stats"],
+        method=lambda m, im, train: m.backbone(im, train=train))
+    old = variables["batch_stats"]
+    upd = mut["batch_stats"]
+
+    def extrapolate(path, u, o):
+        b = (u - 0.9 * o) / 0.1
+        if any(getattr(p, "key", None) == "var" for p in path):
+            b = jnp.maximum(b, 1e-6)  # variance must stay positive
+        return b
+
+    new_bs = jax.tree_util.tree_map_with_path(extrapolate, upd, old)
+    return {**variables, "batch_stats": new_bs}
+
+
+def trunk_gait_batch(model, b: int = 4, t: int = 32, img: int = 64,
+                     seed: int = 0, noise: float = 0.1) -> dict:
+    """REAL-trunk gait training batch (VERDICT r2 next-step #7).
+
+    Renders b synthetic walking clips with known speed/phase
+    (synthetic_walker_clip), crops the walker, runs the model's actual
+    backbone + PARE feature extractor + camera head (the exact feature
+    path GRNetCore's gait branch consumes, grnet.py:106-120), and labels
+    the resulting pose-feature sequences with the generator's parameters.
+    `model`: a GRNet bundle whose trunk was initialised at `img` crops
+    (GRNet.create(init_img=img)) and BN-calibrated
+    (calibrate_backbone_bn). Returns the make_gait_train_step contract.
+    """
+    from gaitlab.nn import gait as gait_mod
+    from gaitlab.pipeline import crop as crop_mod
+
+    module, variables = model.module, model.variables
+    rng = np.random.default_rng(seed)
+
+    def trunk_feats(m, images, bbox, cimg):
+        features = m.backbone(images, train=False)
+        feats = m.head.feature_extractor(features)
+        patt = m.head.predict(feats["point_local_feat"],
+                              feats["cam_shape_feats"])
+        cparams = gait_mod.camera_reparam(patt["pred_cam"], bbox, cimg)
+        return feats["point_local_feat"], cparams
+
+    fn = jax.jit(lambda v, x, bb, ci: module.apply(
+        v, x, bb, ci, method=trunk_feats))
+
+    feats, cps, avgs, phases = [], [], [], []
+    for k in range(b):
+        freq = float(rng.uniform(0.06, 0.2))
+        amp = float(rng.uniform(18.0, 38.0))
+        speed = float(rng.uniform(0.8, 2.5))
+        phase0 = float(rng.uniform(0, 2 * np.pi))
+        frames, bboxes, theta = synthetic_walker_clip(
+            t, freq=freq, amp_deg=amp, speed=speed, seed=seed + 7 * k,
+            phase0=phase0)
+        crops = np.stack([crop_mod.generate_patch_image(
+            frames[i], *bboxes[i], img, img, scale=1.0)[0]
+            for i in range(t)])
+        x = crop_mod.normalize_image(jnp.asarray(crops))
+        h, w = frames.shape[1:3]
+        cimg = np.full((t, 2), [w * 0.5, h * 0.5], np.float32)
+        plf, cp = fn(variables, x, jnp.asarray(bboxes), jnp.asarray(cimg))
+        feats.append(np.asarray(plf))
+        cps.append(np.asarray(cp))
+        avgs.append([freq * 10.0, amp / 20.0, speed / 2.0])
+        phases.append(np.stack([np.cos(theta), np.sin(theta),
+                                np.cos(theta / 2), np.sin(theta / 2)],
+                               axis=-1))
+    clean = np.stack(feats)
+    # normalize feature scale so the reconstruction loss is comparable
+    # across random-weight trunks
+    clean = clean / (np.abs(clean).mean() + 1e-9)
+    noisy = clean + noise * rng.normal(size=clean.shape)
+    f32 = lambda x: jnp.asarray(np.asarray(x), jnp.float32)
+    return {"features": f32(noisy), "clean_features": f32(clean),
+            "cparams": f32(np.stack(cps)), "gait_avg": f32(avgs),
+            "gait_phase": f32(np.stack(phases))}
+
+
 def synthetic_batch(n: int, img: int = 224, num_joints: int = 29,
                     seed: int = 0) -> dict:
     """Random supervised batch with the train_step contract (for tests and

@@ -98,3 +98,82 @@ def test_corrector_denoises_features(trained):
     # white noise cannot be fully removed from a short window; require a
     # clear, reproducible improvement (measured 0.26 -> 0.21 at 600 steps)
     assert err_out < 0.9 * err_in, (err_in, err_out)
+
+
+@pytest.mark.slow
+def test_gait_training_on_real_trunk_features():
+    """The gait branch learns from the REAL trunk's pose features, not
+    just sinusoid toys (VERDICT r2 next-step #7): synthetic walking clips
+    with known speed/phase are rendered, the actual backbone + PARE
+    feature extractor produces the pose-feature sequences (the exact path
+    GRNetCore's gait branch consumes), and phase recovery on HELD-OUT
+    clips must beat the untrained corrector."""
+    import optax
+
+    from gaitlab import training
+    from gaitlab.nn.gait import FeatCorrector
+    from gaitlab.nn.grnet import GRNet
+    from gaitlab.pipeline import crop as crop_mod
+
+    t, img = 32, 64
+    model = GRNet.create(init_img=img)
+
+    # BN calibration: fresh-init running stats collapse the random-weight
+    # conv stack into an input-independent map (CLAUDE.md)
+    frames, bboxes, _ = training.synthetic_walker_clip(16, seed=99)
+    crops = np.stack([crop_mod.generate_patch_image(
+        frames[i], *bboxes[i], img, img, scale=1.0)[0] for i in range(16)])
+    model.variables = training.calibrate_backbone_bn(
+        model.module, model.variables, crop_mod.normalize_image(
+            jnp.asarray(crops)))
+
+    train_batch = training.trunk_gait_batch(model, b=6, t=t, img=img,
+                                            seed=0)
+    held_out = training.trunk_gait_batch(model, b=4, t=t, img=img,
+                                         seed=1000)
+    feats = np.asarray(train_batch["clean_features"])
+    spread = np.linalg.norm(
+        feats - feats.mean(axis=1, keepdims=True), axis=-1).mean()
+    assert spread > 0.05, (
+        f"trunk features are input-independent (spread {spread}): BN "
+        f"calibration failed, the task would be unlearnable")
+
+    j, c = feats.shape[2], feats.shape[3]
+    module = FeatCorrector(num_joints=j, feat_dim=c, h_size=64,
+                           num_heads=2, stop_gaitfeat_grad=False)
+    params0 = module.init(jax.random.PRNGKey(0), train_batch["features"],
+                          train_batch["cparams"])
+    optimizer = optax.adam(2e-3)
+    state = training.create_train_state(params0, optimizer)
+    step = jax.jit(training.make_gait_train_step(module, optimizer))
+
+    first = None
+    for i in range(250):
+        state, metrics = step(state, train_batch)
+        if first is None:
+            first = float(metrics["loss"])
+    assert float(metrics["loss"]) < 0.5 * first, (first, metrics)
+
+    def phase_err(p):
+        _, _, pred_phase = module.apply(p, held_out["features"],
+                                        held_out["cparams"])
+        nrm = lambda v: v / (np.linalg.norm(v, axis=-1, keepdims=True)
+                             + 1e-9)
+        pp = np.asarray(pred_phase)
+        gp = np.asarray(held_out["gait_phase"])
+        cos1 = (nrm(pp[..., :2]) * nrm(gp[..., :2])).sum(-1)
+        cos2 = (nrm(pp[..., 2:]) * nrm(gp[..., 2:])).sum(-1)
+        return 1.0 - float(np.mean((cos1 + cos2) / 2))
+
+    def avg_err(p):
+        _, pred_avg, _ = module.apply(p, held_out["features"],
+                                      held_out["cparams"])
+        return float(np.mean((np.asarray(pred_avg)
+                              - np.asarray(held_out["gait_avg"])) ** 2))
+
+    e_un, e_tr = phase_err(params0), phase_err(state.params)
+    assert e_tr < 0.7 * e_un, (
+        f"held-out phase recovery did not improve: {e_un} -> {e_tr}")
+    a_un, a_tr = avg_err(params0), avg_err(state.params)
+    assert a_tr < 0.7 * a_un, (
+        f"held-out speed recovery did not improve: {a_un} -> {a_tr}")

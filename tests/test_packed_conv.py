@@ -98,3 +98,38 @@ def test_packed_hrnet_backbone_matches(rng):
     ref = net0.apply(variables, x)
     out = netp.apply(variables, x)
     np.testing.assert_allclose(out, ref, rtol=0, atol=5e-5)
+
+
+def test_stem_s2d_matches_standard_conv(rng):
+    """StemConvS2D == nn.Conv(F,(3,3),(2,2),pad 1) with the SAME 'kernel'
+    param (name/shape-compatible): every nonzero packed MAC is one of the
+    original 27 taps, zero-padding covers the rest."""
+    import flax.linen as nn
+
+    from gaitlab.nn.hrnet import StemConvS2D
+
+    f, h, w = 8, 20, 28
+    x = jnp.asarray(rng.normal(size=(2, h, w, 3)).astype(np.float32))
+    std = nn.Conv(f, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)],
+                  use_bias=False)
+    v = std.init(jax.random.PRNGKey(3), x)
+    ref = std.apply(v, x)
+    out = StemConvS2D(f).apply(v, x)
+    assert out.shape == ref.shape == (2, h // 2, w // 2, f)
+    np.testing.assert_allclose(out, ref, rtol=0, atol=1e-5)
+
+
+def test_stem_s2d_backbone_matches(rng):
+    """Full backbone with stem_s2d=True == standard, same variables."""
+    from gaitlab.nn.hrnet import HRNetCfg, PoseHighResolutionNet
+
+    x = jnp.asarray(rng.normal(size=(1, 64, 64, 3)).astype(np.float32))
+    net0 = PoseHighResolutionNet(HRNetCfg.w(32))
+    nets = PoseHighResolutionNet(HRNetCfg.w(32, stem_s2d=True))
+    variables = net0.init(jax.random.PRNGKey(1), x)
+    # the stem itself matches to 1e-5 (test above); through the ~100-conv
+    # stack the f32 summation-order difference amplifies to ~2e-3 on
+    # ~3e2-magnitude activations
+    np.testing.assert_allclose(nets.apply(variables, x),
+                               net0.apply(variables, x), rtol=1e-3,
+                               atol=5e-3)

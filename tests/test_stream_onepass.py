@@ -194,6 +194,70 @@ def test_onepass_gait_branch(monkeypatch, tmp_path):
 
 
 @pytest.mark.slow
+def test_onepass_gap_bridging(monkeypatch, tmp_path):
+    """A 3-frame occlusion must yield ONE track in both one-pass and the
+    equivalent two-pass flow (VERDICT r2 next-step #5). The reference's
+    smooth_tracking (demo_utils.py:249-297, interv=5) keeps in-track gaps
+    <= 4 frame ids; streaming SORT at max_age=3 reproduces that segment
+    structure, and per-frame outputs must match run_track exactly."""
+    import cv2
+
+    monkeypatch.setenv("GAITLAB_BUCKETS", "32")
+    from gaitlab.nn.grnet import GRNet
+    from gaitlab.pipeline import detect, stream, tracks, video
+    from gaitlab.pipeline.runner import GRNetRunner
+
+    vid = str(tmp_path / "occl.mp4")
+    w, h, n = 320, 240, 60
+    occluded = range(30, 33)  # 3-frame full occlusion
+    writer = cv2.VideoWriter(vid, cv2.VideoWriter_fourcc(*"mp4v"), 20.0,
+                             (w, h))
+    rng = np.random.default_rng(1)
+    bg = rng.integers(40, 70, size=(h, w, 3)).astype(np.uint8)
+    for i in range(n):
+        frame = bg.copy()
+        if i not in occluded:
+            x = 30 + 3 * i
+            cv2.rectangle(frame, (x, 40), (x + 44, 200), (210, 190, 180), -1)
+        writer.write(frame)
+    writer.release()
+
+    model = GRNet.create()
+    runner = GRNetRunner(model, fetch=("theta", "kp_3d"), crop_on="host")
+
+    one = stream.run_video_onepass(runner, vid, fit_frames=60)
+    assert len(one) == 1, (
+        f"3-frame occlusion must be bridged into ONE track, got {len(one)}")
+    res1 = next(iter(one.values()))
+    fids = res1["frames"]
+    gaps = np.diff(fids)
+    assert gaps.max() >= 3, "the occlusion gap must appear in the frame ids"
+    assert gaps.max() <= 4, "no gap may exceed smooth_tracking's interv-1"
+
+    # two-pass at the same operating point + smooth_tracking: one track,
+    # identical frames, identical model outputs
+    frames_all = np.concatenate(
+        [c for c in video.VideoChunkReader(vid, chunk=16)], axis=0)
+    det = detect.MedianBackgroundDetector().fit(frames_all)
+    raw_tracks = tracks.track_video(det(frames_all), max_age=3,
+                                    reconfirm=False)
+    smoothed, _ = tracks.smooth_tracking(raw_tracks)
+    assert len(smoothed) == 1
+    two = smoothed[0]
+    np.testing.assert_array_equal(fids, two["frames"])
+    np.testing.assert_allclose(res1["bboxes"], two["bbox"], atol=1e-4)
+    ref = runner.run_track(frames_all[fids], two["bbox"])
+    np.testing.assert_allclose(res1["joints3d"], ref["joints3d"],
+                               rtol=0, atol=1e-5)
+
+    # without bridging (round-2 behaviour) the same clip splits in two
+    two_ids = stream.run_video_onepass(runner, vid, fit_frames=60,
+                                       max_age=1)
+    assert len(two_ids) >= 2 or (
+        len(next(iter(two_ids.values()))["frames"]) < len(fids))
+
+
+@pytest.mark.slow
 def test_demo_cli_onepass(tmp_path, monkeypatch, capsys):
     """--onepass end to end: single-decode pipeline, reference pkl schema."""
     import joblib

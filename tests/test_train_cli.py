@@ -56,3 +56,26 @@ def test_train_cli_steps_and_resume(tmp_path):
     ])
     _, state2 = train.main(args2)
     assert int(state2.step) == 6
+
+
+def test_train_cli_gait_shards(tmp_path):
+    """--gait with .npz shards: FeatCorrector trains and checkpoints.
+    (The --data synthetic trunk-feature path is covered by
+    test_gait_training.py::test_gait_training_on_real_trunk_features.)"""
+    from gaitlab import training
+    from gaitlab.cli import train
+
+    b, t, j, c = 2, 8, 4, 8
+    batch = training.synthetic_gait_batch(b, t=t, j=j, c=c, seed=0)
+    np.savez(str(tmp_path / "gait0.npz"),
+             **{k: np.asarray(v) for k, v in batch.items()})
+    args = train.build_parser().parse_args([
+        "--data", str(tmp_path / "gait*.npz"),
+        "--workdir", str(tmp_path / "run"),
+        "--gait", "--gait_h_size", "16",
+        "--steps", "3", "--save_every", "3", "--log_every", "1",
+        "--lr", "1e-3",
+    ])
+    module, state = train.main(args)
+    assert int(state.step) == 3
+    assert osp.isdir(osp.join(str(tmp_path / "run"), "ckpt_gait"))
