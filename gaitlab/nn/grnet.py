@@ -59,6 +59,19 @@ class GRNetCore(nn.Module):
     backbone_cast_after: tuple = ()
     # Space-to-depth packed stem conv (HRNetCfg.stem_s2d experiment).
     stem_s2d: bool = False
+    # Matmul precision for the PARE head, overriding the caller's global
+    # context ("default" | "high" | "float32"; None = inherit). The
+    # qualified production mode runs the backbone at "high" and the head
+    # at single-pass "default": the bf16 error lives in the deep conv
+    # stack, not the head (docs/PRECISION.json r3: 0.35 mm vs 0.24 with
+    # head high, at 1.17x the throughput).
+    head_precision: Optional[str] = None
+
+    def _head_prec(self):
+        import contextlib
+
+        return (jax.default_matmul_precision(self.head_precision)
+                if self.head_precision else contextlib.nullcontext())
     freeze_backbone: bool = True
     use_gait_feat: bool = False      # reference grnet.py:40 default False
     use_pallas_attention: bool = False
@@ -115,15 +128,17 @@ class GRNetCore(nn.Module):
         if self.freeze_backbone:
             features = jax.lax.stop_gradient(features)  # grnet.py:145-146
         if not self.use_gait_feat:
-            return self.head(features)
+            with self._head_prec():
+                return self.head(features)
 
         from gaitlab.nn import gait as gait_mod
 
         assert bbox is not None and cimg is not None
         n = images.shape[0]
-        feats = self.head.feature_extractor(features)
-        patt = self.head.predict(feats["point_local_feat"],
-                                 feats["cam_shape_feats"])
+        with self._head_prec():
+            feats = self.head.feature_extractor(features)
+            patt = self.head.predict(feats["point_local_feat"],
+                                     feats["cam_shape_feats"])
         cparams = gait_mod.camera_reparam(patt["pred_cam"], bbox, cimg)
         seq_lengths = (jnp.asarray(n_valid, jnp.int32).reshape(1)
                        if n_valid is not None else None)
@@ -132,7 +147,8 @@ class GRNetCore(nn.Module):
             cparams[None],
             seq_lengths=seq_lengths,
         )
-        out = self.head.predict(corrected[0], feats["cam_shape_feats"])
+        with self._head_prec():
+            out = self.head.predict(corrected[0], feats["cam_shape_feats"])
         out.update({k: v for k, v in feats.items()
                     if k == "pred_segm_mask"})
         out["pred_avg"] = pred_avg
@@ -141,7 +157,8 @@ class GRNetCore(nn.Module):
         return out
 
     def head_predict(self, point_local_feat: Array, cam_shape_feats: Array) -> dict:
-        return self.head.predict(point_local_feat, cam_shape_feats)
+        with self._head_prec():
+            return self.head.predict(point_local_feat, cam_shape_feats)
 
 
 def vp_regress(

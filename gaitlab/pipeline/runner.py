@@ -42,13 +42,20 @@ class GRNetRunner:
     mesh: Optional[jax.sharding.Mesh] = None
     # matmul precision (jax.default_matmul_precision name). The default
     # "high" (bf16_3x on TPU) is the accuracy-qualified production mode:
-    # 0.24 mm MPJPE vs the f32 torch reference in the worst-case
-    # random-weight regime at 1.8x the float32 throughput
-    # (scripts/precision_study.py, docs/PRECISION.json). "float32"
-    # (bf16_6x) is exact parity (0.002 mm); "default" single-pass bf16
-    # compounds ~14 mm through the ~100-conv stack and is NOT within the
-    # 0.5 mm budget (SURVEY.md §7 hard part #4).
+    # the bf16 error lives in the deep conv stack (per-region study,
+    # docs/PRECISION.json r3), so paired with head_precision="auto" the
+    # backbone runs at "high" and the PARE head at single-pass bf16 —
+    # 0.35 mm MPJPE worst-case vs the f32 torch reference at ~1476
+    # fps/chip (1.17x round-2's all-high 1261). "float32" (bf16_6x) is
+    # exact parity (0.002 mm); "default" single-pass bf16 compounds
+    # ~14 mm through the ~100-conv stack and is NOT within the 0.5 mm
+    # budget (SURVEY.md §7 hard part #4).
     precision: str = "high"
+    # PARE-head matmul precision: "auto" = single-pass bf16 ("default")
+    # when precision=="high" (the qualified mixed mode), inherit the
+    # global context otherwise (so "float32" parity stays exact). Set
+    # None to always inherit, or an explicit precision name.
+    head_precision: Optional[str] = "auto"
     # trunk compute dtype: "bfloat16" halves activation HBM traffic for the
     # conv trunk (params cast in-graph; SMPL + regression stay f32). Fast
     # mode — NOT the parity path.
@@ -98,6 +105,14 @@ class GRNetRunner:
         joint_mode = self.model.joint_mode
 
         precision = self.precision
+        head_prec = self.head_precision
+        if head_prec == "auto":
+            # the qualified mixed mode: head at single-pass bf16 under a
+            # "high" backbone (docs/PRECISION.json r3: 0.35 mm, 1.17x);
+            # any other global precision (esp. float32 parity) inherits
+            head_prec = "default" if precision == "high" else None
+        if head_prec and module.head_precision != head_prec:
+            module = module.clone(head_precision=head_prec)
         gait = module.use_gait_feat
         trunk_dtype = (jnp.dtype(self.trunk_dtype)
                        if self.trunk_dtype else None)

@@ -256,11 +256,13 @@ def synthetic_walker_clip(t: int, h: int = 128, w: int = 192,
     """Render a t-frame clip of a 2D articulated walker with KNOWN gait.
 
     The walker is a torso box + two legs + two arms swinging as pendulums
-    on a shared phase theta(i) = 2*pi*freq*i + phase0 (legs antiphase,
-    arms opposite the legs) while translating at `speed` px/frame — so
-    crop appearance is a deterministic function of the phase, and the
-    trunk's pose features carry recoverable gait signal (unlike the pure
-    sinusoid toys of synthetic_gait_batch).
+    on a shared phase theta(i) = 2*pi*freq*i + phase0 while translating at
+    `speed` px/frame. Legs swing with sin(theta) and arms with cos(theta)
+    (quadrature): with a single harmonic, appearance at theta and
+    pi - theta would be identical and absolute phase unrecoverable from
+    pixels — the quadrature arm makes the (sin, cos) pair observable, so
+    the trunk's pose features carry a full-rank gait signal (unlike the
+    pure sinusoid toys of synthetic_gait_batch).
 
     Returns (frames uint8 (t,h,w,3), bboxes (t,4) cxcywh squares,
     theta (t,) phase).
@@ -268,7 +270,13 @@ def synthetic_walker_clip(t: int, h: int = 128, w: int = 192,
     import cv2
 
     rng = np.random.default_rng(seed)
-    bg = rng.integers(40, 70, size=(h, w, 3)).astype(np.uint8)
+    # UNIFORM background: a textured one would leak position into the
+    # tracked crop (the window slides over it), and within a clip position
+    # is perfectly correlated with phase — features would ride the
+    # background cue and fail to generalize across clips with different
+    # speed/freq. (Detection tests elsewhere use textured backgrounds on
+    # purpose; here the signal must be the limb configuration.)
+    bg = np.full((h, w, 3), 55, np.uint8)
     frames = np.empty((t, h, w, 3), np.uint8)
     bboxes = np.empty((t, 4), np.float32)
     theta = 2 * np.pi * freq * np.arange(t) + phase0
@@ -282,14 +290,15 @@ def synthetic_walker_clip(t: int, h: int = 128, w: int = 192,
         cv2.rectangle(f, (cx - 9, top), (cx + 9, hip[1]),
                       (205, 185, 175), -1)
         cv2.circle(f, (cx, top - 10), 11, (198, 168, 158), -1)
-        a = np.deg2rad(amp_deg) * np.sin(theta[i])
-        for sign, origin, ln, col in (
-                (+1, hip, leg_len, (215, 195, 185)),
-                (-1, hip, leg_len, (185, 170, 160)),
-                (-1, sh, int(leg_len * 0.8), (215, 195, 185)),
-                (+1, sh, int(leg_len * 0.8), (185, 170, 160))):
-            end = (int(origin[0] + ln * np.sin(sign * a)),
-                   int(origin[1] + ln * np.cos(sign * a)))
+        a = np.deg2rad(amp_deg) * np.sin(theta[i])   # legs
+        b = np.deg2rad(amp_deg) * np.cos(theta[i])   # arms: quadrature
+        for ang, origin, ln, col in (
+                (+a, hip, leg_len, (215, 195, 185)),
+                (-a, hip, leg_len, (185, 170, 160)),
+                (+b, sh, int(leg_len * 0.8), (225, 205, 195)),
+                (-b, sh, int(leg_len * 0.8), (175, 160, 150))):
+            end = (int(origin[0] + ln * np.sin(ang)),
+                   int(origin[1] + ln * np.cos(ang)))
             cv2.line(f, origin, end, col, 7)
         frames[i] = f
         side = body_h + leg_len + 30
@@ -373,9 +382,13 @@ def trunk_gait_batch(model, b: int = 4, t: int = 32, img: int = 64,
         feats.append(np.asarray(plf))
         cps.append(np.asarray(cp))
         avgs.append([freq * 10.0, amp / 20.0, speed / 2.0])
-        phases.append(np.stack([np.cos(theta), np.sin(theta),
-                                np.cos(theta / 2), np.sin(theta / 2)],
-                               axis=-1))
+        # two unit-circle pairs like the reference contract: leg phase +
+        # arm (quadrature) phase. NOT theta/2 — appearance is 2*pi-periodic
+        # in theta, so a half-rate phase is unrecoverable from pixels.
+        phases.append(np.stack(
+            [np.cos(theta), np.sin(theta),
+             np.cos(theta - np.pi / 2), np.sin(theta - np.pi / 2)],
+            axis=-1))
     clean = np.stack(feats)
     # normalize feature scale so the reconstruction loss is comparable
     # across random-weight trunks

@@ -127,10 +127,11 @@ def test_gait_training_on_real_trunk_features():
         model.module, model.variables, crop_mod.normalize_image(
             jnp.asarray(crops)))
 
-    train_batch = training.trunk_gait_batch(model, b=6, t=t, img=img,
-                                            seed=0)
+    train_batches = [training.trunk_gait_batch(model, b=6, t=t, img=img,
+                                               seed=s) for s in (0, 100)]
     held_out = training.trunk_gait_batch(model, b=4, t=t, img=img,
                                          seed=1000)
+    train_batch = train_batches[0]
     feats = np.asarray(train_batch["clean_features"])
     spread = np.linalg.norm(
         feats - feats.mean(axis=1, keepdims=True), axis=-1).mean()
@@ -148,8 +149,8 @@ def test_gait_training_on_real_trunk_features():
     step = jax.jit(training.make_gait_train_step(module, optimizer))
 
     first = None
-    for i in range(250):
-        state, metrics = step(state, train_batch)
+    for i in range(400):
+        state, metrics = step(state, train_batches[i % 2])
         if first is None:
             first = float(metrics["loss"])
     assert float(metrics["loss"]) < 0.5 * first, (first, metrics)

@@ -33,12 +33,20 @@ def test_study_artifact_is_sane():
 def test_runner_default_mode_is_qualified():
     from gaitlab.pipeline.runner import GRNetRunner
 
-    default_mode = GRNetRunner.__dataclass_fields__["precision"].default
+    fields = GRNetRunner.__dataclass_fields__
+    default_mode = fields["precision"].default
+    head_default = fields["head_precision"].default
+    # the deployed default = global precision + head_precision="auto"
+    # (head at single-pass bf16 under "high"); the study row for that
+    # exact combination is "bb_high+head_default+smpl_high"
+    study_mode = default_mode
+    if default_mode == "high" and head_default == "auto":
+        study_mode = "bb_high+head_default+smpl_high"
     modes = {r["mode"]: r for r in _study()["results"]}
-    assert default_mode in modes, default_mode
-    r = modes[default_mode]
+    assert study_mode in modes, study_mode
+    r = modes[study_mode]
     assert r["mpjpe_mm"] <= 0.5, (
-        f"runner default '{default_mode}' measured {r['mpjpe_mm']} mm "
+        f"runner default '{study_mode}' measured {r['mpjpe_mm']} mm "
         f"worst-case MPJPE — outside the 0.5 mm budget")
     # and it must be a real speedup over exact parity, not a rename
     assert r["fps_per_chip"] > 1.5 * modes["float32"]["fps_per_chip"]
@@ -66,3 +74,31 @@ def test_precision_threads_into_forward(monkeypatch, rng):
     bboxes = np.tile(np.array([32.0, 32.0, 40.0, 40.0], np.float32), (2, 1))
     runner.run_track(frames, bboxes)
     assert "high" in seen
+    # head_precision="auto" under "high" puts the PARE head in a nested
+    # single-pass-bf16 context (the qualified mixed mode)
+    assert "default" in seen
+
+
+def test_parity_mode_keeps_head_inherited(monkeypatch, rng):
+    """precision='float32' (parity) must NOT silently drop the head to
+    bf16: head_precision='auto' only activates under 'high'."""
+    import jax
+
+    from gaitlab.nn.grnet import GRNet
+    from gaitlab.pipeline.runner import GRNetRunner
+
+    seen = []
+    real = jax.default_matmul_precision
+
+    def spy(p):
+        seen.append(p)
+        return real(p)
+
+    monkeypatch.setattr(jax, "default_matmul_precision", spy)
+    model = GRNet.create()
+    runner = GRNetRunner(model, buckets=(4,), precision="float32")
+    frames = rng.integers(0, 255, (2, 64, 64, 3)).astype(np.uint8)
+    bboxes = np.tile(np.array([32.0, 32.0, 40.0, 40.0], np.float32), (2, 1))
+    runner.run_track(frames, bboxes)
+    assert "float32" in seen
+    assert "default" not in seen
