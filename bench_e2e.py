@@ -321,22 +321,35 @@ def main():
     roof["crop_fps"] = round(rn / (time.perf_counter() - t0), 1)
 
     # chip-side model rate: normalized crops resident on device, iteration
-    # i+1 consumes a scalar of iteration i (the axon-safe discipline)
+    # i+1 consumes a scalar of iteration i (the axon-safe discipline).
+    # The bias-add lives INSIDE the jit: an eager 150 MB image add per
+    # iteration costs a tunnel dispatch round trip each and produced
+    # order-of-magnitude artifacts (94 "fps") in an earlier run.
+    from gaitlab.nn.grnet import vp_regress
     from gaitlab.pipeline.crop import normalize_image
 
     bucket = 256
-    jfwd = runners["joints"]._forward(bucket, raw_uint8=False)
-    rvars = runners["joints"]._trunk_variables()
+    core = runners["joints"].model.module.clone(head_precision="default")
     rsmpl = runners["joints"]._smpl_params()
+    rvars = runners["joints"]._trunk_variables()
+
+    @jax.jit
+    def model_fwd(v, s, im, b):
+        with jax.default_matmul_precision("high"):
+            patt = core.apply(v, im + b)
+            out = vp_regress(s, patt, batch_size=1, joint_mode="spin2")[0]
+        return out["theta"]
+
     imgs = normalize_image(jnp.asarray(crops_u8[:bucket]))  # device f32
-    o = jfwd(rvars, rsmpl, imgs)   # warm/compile check (bucket cached)
-    float(np.asarray(o["theta"][0, 0]))
+    bias = jnp.zeros((), jnp.float32)
+    o = model_fwd(rvars, rsmpl, imgs, bias)  # compile + warm
+    float(np.asarray(o[0, 0, 0]))
     iters = 6
     t0 = time.perf_counter()
     for _ in range(iters):
-        o = jfwd(rvars, rsmpl, imgs)
-        imgs = imgs + o["theta"][0, 0] * 1e-12   # device-side dependency
-    float(np.asarray(o["theta"][0, 0]))          # one host sync at the end
+        o = model_fwd(rvars, rsmpl, imgs, bias)
+        bias = o[0, 0, 0] * 1e-12            # device-side scalar dep
+    float(np.asarray(bias))                  # one host sync at the end
     dt = time.perf_counter() - t0
     roof["model_chip_fps"] = round(bucket * iters / dt, 1)
 
@@ -419,8 +432,8 @@ def main():
             "full": round(450 / stages["model_mem_full"], 1),
         },
         "e2e_fps": e2e_fps,
-        "precision_mode": "high (0.24mm MPJPE worst-case, "
-                          "docs/PRECISION.json)",
+        "precision_mode": "backbone high + head bf16 (0.35mm MPJPE "
+                          "worst-case, docs/PRECISION.json)",
     }
     repo = osp.dirname(osp.abspath(__file__))
     with open(osp.join(repo, "docs", "BENCH_E2E.json"), "w") as f:

@@ -42,8 +42,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output_folder", type=str, default="output/",
                    help="output folder to write results")
     p.add_argument("--detector", type=str, default="yolo",
-                   choices=["yolo", "median_bg", "dnn"],
-                   help="object detector to be used for bbox tracking")
+                   choices=["yolo", "yolo_tiny", "yolo_v3", "median_bg",
+                            "dnn"],
+                   help="object detector to be used for bbox tracking "
+                        "(yolo auto-detects the variant from the weight "
+                        "file; yolo_tiny/yolo_v3 force one)")
     p.add_argument("--yolo_img_size", type=int, default=416,
                    help="input image size for yolo detector")
     p.add_argument("--tracker_batch_size", type=int, default=12,

@@ -271,7 +271,9 @@ def get_detector(name: str = "median_bg", input_size: Optional[int] = None,
     median-background fallback has no use for them."""
     import os
 
-    if name == "yolo":
+    if name in ("yolo", "yolo_tiny", "yolo_v3"):
+        if name != "yolo":  # explicit variant overrides auto-detection
+            kw.setdefault("variant", "tiny" if name == "yolo_tiny" else "v3")
         weights = os.environ.get("GAITLAB_YOLO_WEIGHTS")
         if not weights:
             from gaitlab.pipeline import fetch

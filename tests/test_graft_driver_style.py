@@ -17,6 +17,9 @@ def test_dryrun_fresh_process_driver_env():
         [sys.executable, "-c",
          "import __graft_entry__ as g; g.dryrun_multichip(8)"],
         cwd="/root/repo", env=env, capture_output=True, text=True,
-        timeout=900)
+        timeout=1800)
     assert out.returncode == 0, out.stderr[-2000:]
     assert "dryrun_multichip ok" in out.stdout
+    # round 3: the sharded inference runner (gait branch, uneven batch)
+    # must also validate against the unsharded runner
+    assert "dryrun sharded-inference ok" in out.stdout

@@ -319,6 +319,24 @@ def test_v3_detector_end_to_end(tmp_path, monkeypatch, v3_module_and_vars):
     assert result
 
 
+def test_get_detector_variant_forcing(tmp_path, monkeypatch,
+                                      module_and_vars):
+    """--detector yolo_tiny / yolo_v3 force the variant regardless of the
+    weight-file auto-detection path."""
+    from gaitlab.nn import yolo
+    from gaitlab.pipeline import detect
+
+    module, variables = module_and_vars
+    path = str(tmp_path / "yolov3-tiny.weights")
+    yolo.save_darknet_weights(path, variables)
+    monkeypatch.setenv("GAITLAB_YOLO_WEIGHTS", path)
+    det = detect.get_detector("yolo_tiny", batch=2)
+    assert det.variant == "tiny"
+    # forcing v3 on a tiny file must fail loudly (wrong float count)
+    with pytest.raises(ValueError):
+        detect.get_detector("yolo_v3", batch=2)
+
+
 def test_demo_runner_kwargs_cap_buckets():
     """--grnet_batch_size caps the runner bucket set (demo.py:415-416)."""
     from gaitlab.cli import demo
