@@ -164,6 +164,41 @@ def main():
     wpid = max(wtrack, key=lambda k: len(wtrack[k]["frames"]))
     wbb = wtrack[wpid]["bbox"]
     wfr = head[wtrack[wpid]["frames"]]
+
+    # ---- roofline part 1: HOST stage capacities, measured BEFORE any
+    # device work touches this process (an earlier run measured decode at
+    # 72 fps mid-bench vs 150 fps track_stream — tunnel-client CPU and
+    # queue drain pollute late host measurements) -------------------------
+    log("roofline: standalone host-stage capacities (pre-device)...")
+    roof = {}
+    rn = 450
+
+    def decode_pass():
+        got = 0
+        t0 = time.perf_counter()
+        for chunk in video.VideoChunkReader(clip, chunk=64,
+                                            reuse_buffers=True):
+            got += len(chunk)
+            if got >= rn:
+                break
+        return got / (time.perf_counter() - t0)
+
+    decode_pass()  # warm the page cache: a cold file read gates pass 1
+    roof["decode_fps"] = round(decode_pass(), 1)
+
+    rdet = detect.MedianBackgroundDetector().fit(head)
+    t0 = time.perf_counter()
+    for s0 in range(0, len(head), 64):
+        rdet(head[s0 : s0 + 64])
+    roof["detect_fps"] = round(len(head) / (time.perf_counter() - t0), 1)
+
+    wbb_tiled = np.tile(wbb[:1], (len(head), 1))
+    t0 = time.perf_counter()
+    crops_u8 = runners["joints"]._host_crop(head, wbb_tiled, 1.0)
+    roof["crop_fps"] = round(len(head) / (time.perf_counter() - t0), 1)
+    del crops_u8
+    log(f"roofline host caps: {roof}")
+
     t0 = time.perf_counter()
     for r in runners.values():
         r.run_track(wfr, wbb)
@@ -291,67 +326,29 @@ def main():
                 f"{stages[f'model_png_{variant}']:.1f}s "
                 f"({nt / stages[f'model_png_{variant}']:.0f} fps)")
 
-    # ---- 6. roofline: stage capacities + implied e2e vs link speed -------
-    # Each stage measured STANDALONE; the model rate uses crops pre-staged
-    # on device with a dependency-chained loop, so the tunnel cannot touch
-    # it. Implied e2e = min over stage caps, at several link bandwidths
-    # and for serial-1-core vs parallel (production) host execution.
+    # ---- 6. roofline part 2: chip model rate + link, then combine --------
+    # The chip-side model rate comes from bench.py in a FRESH subprocess:
+    # in-process measurements after ~20 min of tunnel traffic read 10-30x
+    # low (dispatch/queue pollution — two runs measured 94 and 97 "fps"
+    # for a program bench.py reproducibly measures at ~1480), and bench.py
+    # is the canonical, dependency-chained, single-purpose measurement.
+    import json as json_mod
+    import subprocess
+    import sys as sys_mod
+
     import jax.numpy as jnp
 
-    log("roofline: measuring standalone stage capacities...")
-    roof = {}
-    rn = mem_n  # frames per standalone measurement
-
-    t0 = time.perf_counter()
-    got = 0
-    for chunk in video.VideoChunkReader(clip, chunk=64, reuse_buffers=True):
-        got += len(chunk)
-        if got >= rn:
-            break
-    roof["decode_fps"] = round(got / (time.perf_counter() - t0), 1)
-
-    rdet = detect.MedianBackgroundDetector().fit(head)
-    t0 = time.perf_counter()
-    for s0 in range(0, rn, 64):
-        rdet(mem_frames[s0 : s0 + 64])
-    roof["detect_fps"] = round(rn / (time.perf_counter() - t0), 1)
-
-    t0 = time.perf_counter()
-    crops_u8 = runners["joints"]._host_crop(mem_frames, bboxes_s[:rn], 1.0)
-    roof["crop_fps"] = round(rn / (time.perf_counter() - t0), 1)
-
-    # chip-side model rate: normalized crops resident on device, iteration
-    # i+1 consumes a scalar of iteration i (the axon-safe discipline).
-    # The bias-add lives INSIDE the jit: an eager 150 MB image add per
-    # iteration costs a tunnel dispatch round trip each and produced
-    # order-of-magnitude artifacts (94 "fps") in an earlier run.
-    from gaitlab.nn.grnet import vp_regress
-    from gaitlab.pipeline.crop import normalize_image
-
-    bucket = 256
-    core = runners["joints"].model.module.clone(head_precision="default")
-    rsmpl = runners["joints"]._smpl_params()
-    rvars = runners["joints"]._trunk_variables()
-
-    @jax.jit
-    def model_fwd(v, s, im, b):
-        with jax.default_matmul_precision("high"):
-            patt = core.apply(v, im + b)
-            out = vp_regress(s, patt, batch_size=1, joint_mode="spin2")[0]
-        return out["theta"]
-
-    imgs = normalize_image(jnp.asarray(crops_u8[:bucket]))  # device f32
-    bias = jnp.zeros((), jnp.float32)
-    o = model_fwd(rvars, rsmpl, imgs, bias)  # compile + warm
-    float(np.asarray(o[0, 0, 0]))
-    iters = 6
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        o = model_fwd(rvars, rsmpl, imgs, bias)
-        bias = o[0, 0, 0] * 1e-12            # device-side scalar dep
-    float(np.asarray(bias))                  # one host sync at the end
-    dt = time.perf_counter() - t0
-    roof["model_chip_fps"] = round(bucket * iters / dt, 1)
+    log("roofline: chip model rate via fresh bench.py subprocess...")
+    bench_out = subprocess.run(
+        [sys_mod.executable, osp.join(osp.dirname(osp.abspath(__file__)),
+                                      "bench.py")],
+        capture_output=True, text=True, timeout=900)
+    if bench_out.returncode == 0:
+        roof["model_chip_fps"] = json_mod.loads(
+            bench_out.stdout.strip().splitlines()[-1])["value"]
+    else:
+        log(f"bench.py subprocess failed: {bench_out.stderr[-500:]}")
+        roof["model_chip_fps"] = None
 
     # D2H bandwidth probe (forced materialization of a device buffer)
     dbuf = jax.device_put(jnp.zeros((12, 1024, 1024), jnp.uint8)) + 1
@@ -375,9 +372,14 @@ def main():
     host_caps = {
         "serial_1core": round(1.0 / sum(1.0 / f for f in hs), 1),
         "parallel_host": round(min(hs), 1),
+        # production host: decode/detect parallelize across cores (16
+        # assumed), crop already rides a thread pool
+        "host_16core_parallel": round(
+            min(hs[0] * 16, hs[1] * 16, hs[2] * 8), 1),
     }
     roof["host_caps_fps"] = host_caps
     table = []
+    model_fps = roof["model_chip_fps"] or float("inf")
     for link_name, mbps in (("measured", roof["h2d_MBps_measured"]),
                             ("1GBps", 1000.0), ("10GBps", 10000.0),
                             ("40GBps", 40000.0)):
@@ -385,7 +387,7 @@ def main():
             caps = {
                 "host": host_fps,
                 "h2d": mbps * 1e6 / h2d_bpf,
-                "model": roof["model_chip_fps"],
+                "model": model_fps,
                 "d2h": mbps * 1e6 / d2h_bpf["joints"],
             }
             stage, fps = min(caps.items(), key=lambda kv: kv[1])
