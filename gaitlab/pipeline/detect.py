@@ -278,7 +278,13 @@ def get_detector(name: str = "median_bg", input_size: Optional[int] = None,
         if not weights:
             from gaitlab.pipeline import fetch
 
-            for fname in ("yolov3.weights", "yolov3-tiny.weights"):
+            # a forced variant only accepts its own file — resolving the
+            # other variant's weights would fail the darknet import with
+            # an opaque size mismatch
+            fnames = {"tiny": ("yolov3-tiny.weights",),
+                      "v3": ("yolov3.weights",)}.get(
+                kw.get("variant"), ("yolov3.weights", "yolov3-tiny.weights"))
+            for fname in fnames:
                 try:
                     weights = fetch.resolve_asset(fname)
                     break

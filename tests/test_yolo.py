@@ -337,6 +337,35 @@ def test_get_detector_variant_forcing(tmp_path, monkeypatch,
         detect.get_detector("yolo_v3", batch=2)
 
 
+def test_get_detector_forced_variant_picks_matching_asset(
+        tmp_path, monkeypatch, module_and_vars):
+    """Asset-dir resolution honours a forced variant: with BOTH
+    `yolov3.weights` and `yolov3-tiny.weights` present, `yolo_tiny` must
+    load the tiny file (not the full one the unforced search prefers),
+    and `yolo_v3` with only a tiny file present must fall back like the
+    no-weights case instead of failing the darknet import."""
+    from gaitlab.nn import yolo
+    from gaitlab.pipeline import detect, fetch
+
+    module, variables = module_and_vars
+    tiny_path = tmp_path / "yolov3-tiny.weights"
+    yolo.save_darknet_weights(str(tiny_path), variables)
+    # a decoy full-v3 file (wrong float count for tiny; first in the
+    # unforced search order)
+    (tmp_path / "yolov3.weights").write_bytes(b"\0" * 2048)
+
+    monkeypatch.delenv("GAITLAB_YOLO_WEIGHTS", raising=False)
+    monkeypatch.delenv("GAITLAB_DETECTOR_MODEL", raising=False)
+    monkeypatch.setattr(fetch, "ASSET_DIR", str(tmp_path))
+
+    det = detect.get_detector("yolo_tiny", batch=2)
+    assert det.variant == "tiny"
+
+    (tmp_path / "yolov3.weights").unlink()
+    det = detect.get_detector("yolo_v3", batch=2)
+    assert isinstance(det, detect.MedianBackgroundDetector)
+
+
 def test_demo_runner_kwargs_cap_buckets():
     """--grnet_batch_size caps the runner bucket set (demo.py:415-416)."""
     from gaitlab.cli import demo
