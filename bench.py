@@ -39,8 +39,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import os
+
 BASELINE_FPS = 300.0
-BATCH = 128  # throughput sweet spot on one v5e chip (BASELINE.md sweep)
+# throughput sweet spot on one v5e chip (BASELINE.md sweep); the env
+# override serves scripts/sweeps, the committed headline is the default
+BATCH = int(os.environ.get("GAITLAB_BENCH_BATCH", "128"))
 ITERS = 8
 
 

@@ -19,7 +19,13 @@ import numpy as np
 def load_pipeline(ckpt: str = "", smpl_model: Optional[str] = None,
                   use_gait_feat: bool = False, precision: str = "float32",
                   mesh=None):
-    """(model, runner) ready for repeated video analysis."""
+    """(model, runner) ready for repeated video analysis.
+
+    precision: "float32" (default — exact torch parity) or "high" (the
+    accuracy-qualified production mode: backbone bf16_3x with the PARE
+    head at single-pass bf16 via the runner's head_precision="auto",
+    0.35 mm worst-case MPJPE at ~2.1x the float32 throughput —
+    docs/PRECISION.json)."""
     import argparse
 
     from gaitlab.cli.demo import load_model
@@ -59,8 +65,9 @@ def analyze_video(
 
     onepass=True streams the whole pipeline over a SINGLE video decode
     (gaitlab.pipeline.stream.run_video_onepass — detect/track/crop/model
-    fused; ~2x sustained fps on decode-bound hosts; no smooth_tracking
-    gap interpolation, and `tracking`/`fps` are not supported there).
+    fused; ~2x sustained fps on decode-bound hosts; occlusion gaps are
+    bridged at the smooth_tracking-equivalent operating point, see the
+    stream module docstring; `tracking`/`fps` are not supported there).
     """
     from gaitlab.body.joints import convert_kps
     from gaitlab.pipeline import coords, detect, smoothing, tracks, video
