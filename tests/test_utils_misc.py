@@ -172,3 +172,17 @@ def test_resnet_variants_shapes():
     m50 = resnet.resnet50()
     v50 = m50.init(jax.random.PRNGKey(0), x)
     assert m50.apply(v50, x).shape == (1, 2048)
+
+
+def test_demo_url_input_fails_actionably():
+    """A YouTube/HTTP --vid_file exits with the offline-deployment message
+    (the reference's help text promises a download, demo_utils.py:88 — this
+    build is zero-egress), not the generic 'does not exist'."""
+    import pytest
+
+    from gaitlab.cli import demo
+
+    args = demo.build_parser().parse_args(
+        ["--vid_file", "https://youtu.be/abc123"])
+    with pytest.raises(SystemExit, match="URL"):
+        demo.main(args)
