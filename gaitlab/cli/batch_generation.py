@@ -67,6 +67,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="skip output shards that already exist.")
     p.add_argument("--stream", action="store_true",
                    help="decode straight from the video (no PNG folder).")
+    p.add_argument("--precision", type=str, default=None,
+                   choices=["high", "float32", "default"],
+                   help="matmul precision (extension flag; see demo.py "
+                        "--precision / docs/PRECISION.json).")
     return p
 
 
@@ -111,7 +115,7 @@ def prepare_data(fv: str, vid_folder: str, outpath: str,
                  pretrained_file: str = None, smpl_model: str = None,
                  num_shards: int = 1, shard_id: int = 0,
                  resume: bool = False, debug: bool = False,
-                 stream: bool = False):
+                 stream: bool = False, precision: str = None):
     """Reference prepare_data (batch_generation.py:180-287), TPU pipeline."""
     from gaitlab.cli.demo import load_model
     from gaitlab.pipeline import video as video_mod
@@ -127,7 +131,8 @@ def prepare_data(fv: str, vid_folder: str, outpath: str,
                               smpl_model=smpl_model, cfg=None)
     model = load_model(args, cfg=None)
     # database schema stores only joints3D: skip the 6890-vertex readback
-    runner = GRNetRunner(model, fetch=("kp_3d",))
+    rkw = {"precision": precision} if precision else {}
+    runner = GRNetRunner(model, fetch=("kp_3d",), **rkw)
     if not outpath.endswith(".json"):
         outpath = outpath + ".json"
 
@@ -210,7 +215,7 @@ def main(args):
                  outpath=args.outpath, pretrained_file=args.pretrained_file,
                  smpl_model=args.smpl_model, num_shards=args.num_shards,
                  shard_id=args.shard_id, resume=args.resume,
-                 stream=args.stream)
+                 stream=args.stream, precision=args.precision)
 
 
 if __name__ == "__main__":

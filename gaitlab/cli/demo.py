@@ -92,8 +92,17 @@ def build_parser() -> argparse.ArgumentParser:
                         "track, crop and run the model in ONE streaming "
                         "pass over the video (gaitlab.pipeline.stream) — "
                         "~2x sustained fps on decode-bound hosts. Implies "
-                        "--stream semantics; no smooth_tracking gap "
-                        "interpolation (SORT output is used as-is).")
+                        "--stream semantics; occlusion gaps bridge at the "
+                        "smooth_tracking-equivalent operating point.")
+    p.add_argument("--precision", type=str, default=None,
+                   choices=["high", "float32", "default"],
+                   help="matmul precision (extension flag): default is "
+                        "the accuracy-qualified mixed mode (backbone "
+                        "'high' + head single-pass bf16, 0.35 mm "
+                        "worst-case MPJPE); 'float32' = exact torch "
+                        "parity; 'default' = fast single-pass bf16 "
+                        "(~14 mm, error-tolerant bulk only). "
+                        "docs/PRECISION.json has the full study.")
     return p
 
 
@@ -249,14 +258,20 @@ def _runner_kwargs(args) -> dict:
     """Map --grnet_batch_size (reference forward batch, demo.py:415-416)
     onto the runner's static bucket set: buckets are capped at the
     requested batch. The default 450 equals the default max bucket, so
-    only an explicit override changes anything."""
+    only an explicit override changes anything. --precision passes
+    through to GRNetRunner (the accuracy-qualified default is "high" +
+    head bf16; "float32" is exact torch parity)."""
     from gaitlab.pipeline.runner import DEFAULT_BUCKETS
 
+    kw = {}
     gbs = int(getattr(args, "grnet_batch_size", 0) or 0)
     if gbs and gbs != 450:
-        return {"buckets": tuple(sorted(
-            {b for b in DEFAULT_BUCKETS if b < gbs} | {gbs}))}
-    return {}
+        kw["buckets"] = tuple(sorted(
+            {b for b in DEFAULT_BUCKETS if b < gbs} | {gbs}))
+    prec = getattr(args, "precision", None)
+    if prec:
+        kw["precision"] = prec
+    return kw
 
 
 def main(args):

@@ -373,3 +373,20 @@ def test_demo_runner_kwargs_cap_buckets():
     a = demo.build_parser().parse_args(["--grnet_batch_size", "128"])
     assert demo._runner_kwargs(a) == {"buckets": (32, 64, 128)}
     assert demo._runner_kwargs(demo.build_parser().parse_args([])) == {}
+
+
+def test_demo_precision_flag_threads_to_runner():
+    """--precision passes through to GRNetRunner (both CLIs)."""
+    from gaitlab.cli import batch_generation, demo
+
+    a = demo.build_parser().parse_args(["--precision", "float32"])
+    assert demo._runner_kwargs(a) == {"precision": "float32"}
+    a = demo.build_parser().parse_args(
+        ["--precision", "high", "--grnet_batch_size", "64"])
+    assert demo._runner_kwargs(a) == {"buckets": (32, 64),
+                                      "precision": "high"}
+    # batch_generation parses the same choices and defaults to None
+    b = batch_generation.build_parser().parse_args(
+        ["--vid_folder", "v", "--bbox_path", "b", "--outpath", "o",
+         "--precision", "float32"])
+    assert b.precision == "float32"
