@@ -195,7 +195,12 @@ def run_tracking(args, image_folder, video_file=None):
             args.detector, input_size=args.yolo_img_size,
             batch=args.tracker_batch_size)
         if isinstance(detector, detect.MedianBackgroundDetector):
-            detector.fit(video.load_frames(files[:64]))
+            # calibrate on frames sampled ACROSS the clip (random access is
+            # free on a folder): a head-of-clip sample would bake a person
+            # standing still in the first seconds into the background
+            idx = np.unique(np.linspace(0, len(files) - 1,
+                                        min(60, len(files))).astype(int))
+            detector.fit(video.load_frames([files[i] for i in idx]))
 
         def det_folder_stream():
             for s0 in range(0, len(files), 64):

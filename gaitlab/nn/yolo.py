@@ -289,15 +289,17 @@ def infer_variant(path_or_bytes) -> str:
         import os
 
         size = os.path.getsize(path_or_bytes)
-    floats = (size - 20) // 4  # header: 3*int32 + int64 seen
-    if floats == expected_float_count(tiny_layers()):
+    # header: 3*int32 + `seen` (int64 on darknet >= 0.2, int32 before —
+    # load_darknet_weights handles both, so variant detection must too)
+    counts = {(size - hdr) // 4 for hdr in (20, 16) if (size - hdr) % 4 == 0}
+    if expected_float_count(tiny_layers()) in counts:
         return "tiny"
-    if floats == expected_float_count(v3_layers()):
+    if expected_float_count(v3_layers()) in counts:
         return "v3"
     raise ValueError(
-        f"unrecognized darknet file: {floats} payload floats (expected "
-        f"{expected_float_count(tiny_layers())} for yolov3-tiny or "
-        f"{expected_float_count(v3_layers())} for yolov3)")
+        f"unrecognized darknet file: {sorted(counts)} payload floats "
+        f"(expected {expected_float_count(tiny_layers())} for yolov3-tiny "
+        f"or {expected_float_count(v3_layers())} for yolov3)")
 
 
 def load_darknet_weights(path_or_bytes, variables,

@@ -296,6 +296,9 @@ def get_detector(name: str = "median_bg", input_size: Optional[int] = None,
             if batch:
                 kw.setdefault("batch", int(batch))
             return YoloDetector(weights_path=weights, **kw)
+        kw.pop("variant", None)  # YoloDetector-only knob: the fallbacks
+        # below don't accept it (a forced yolo_tiny/yolo_v3 with no
+        # weights file still lands here)
         model = os.environ.get("GAITLAB_DETECTOR_MODEL")
         if model:
             if input_size:
@@ -303,8 +306,8 @@ def get_detector(name: str = "median_bg", input_size: Optional[int] = None,
             return DnnPersonDetector(
                 model, os.environ.get("GAITLAB_DETECTOR_CONFIG"), **kw)
         print("WARNING: no YOLO weights found (set $GAITLAB_YOLO_WEIGHTS "
-              "or place yolov3-tiny.weights in the asset dir); using the "
-              "median-background detector.")
+              "or place yolov3.weights / yolov3-tiny.weights in the asset "
+              "dir); using the median-background detector.")
         return MedianBackgroundDetector()
     if name == "median_bg":
         return MedianBackgroundDetector(**kw)

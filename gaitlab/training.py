@@ -349,7 +349,11 @@ def trunk_gait_batch(model, b: int = 4, t: int = 32, img: int = 64,
     from gaitlab.nn import gait as gait_mod
     from gaitlab.pipeline import crop as crop_mod
 
-    module, variables = model.module, model.variables
+    # pin the weight tree on device once: model.variables is a HOST numpy
+    # tree (Orbax/memo cache), and passing it to the jitted forward per
+    # clip would re-upload ~250 MB through the (slow, tunneled) H2D link
+    # on every dispatch (CLAUDE.md environment note)
+    module, variables = model.module, jax.device_put(model.variables)
     rng = np.random.default_rng(seed)
 
     def trunk_feats(m, images, bbox, cimg):

@@ -185,15 +185,16 @@ def make_forward(model, mode: str):
     import jax
     import jax.numpy as jnp
 
-    from gaitlab.nn.grnet import GRNetCore, vp_regress
+    from gaitlab.nn.grnet import vp_regress
 
     bb_p, hd_p, sm_p, regions, trunk16, f32_stem, s2d = parse_mode(mode)
     smpl = model.smpl
     module = model.module
     if regions or f32_stem or s2d:
-        # same param structure/names — the study's imported variables
-        # apply unchanged to the re-configured module
-        module = GRNetCore(
+        # clone the study model's module so any non-default configuration
+        # it carries is preserved — param structure/names are unchanged,
+        # so the imported variables apply as-is
+        module = module.clone(
             backbone_region_precision=regions,
             backbone_cast_after=(("stem", "bfloat16"),) if f32_stem else (),
             stem_s2d=s2d)

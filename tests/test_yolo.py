@@ -202,17 +202,43 @@ def test_v3_table_matches_public_cfg():
 def test_infer_variant(tmp_path):
     from gaitlab.nn import yolo
 
-    # fabricate files with the exact payload sizes
-    for n, want in ((8858734, "tiny"), (62001757, "v3")):
-        path = str(tmp_path / f"{want}.weights")
-        with open(path, "wb") as f:
-            f.write(b"\0" * (20 + 4 * n))
-        assert yolo.infer_variant(path) == want
+    # fabricate files with the exact payload sizes; header is 20 bytes on
+    # darknet >= 0.2 (int64 seen) and 16 on older files (int32 seen) —
+    # load_darknet_weights accepts both, so detection must too
+    for hdr in (20, 16):
+        for n, want in ((8858734, "tiny"), (62001757, "v3")):
+            path = str(tmp_path / f"{want}_{hdr}.weights")
+            with open(path, "wb") as f:
+                f.write(b"\0" * (hdr + 4 * n))
+            assert yolo.infer_variant(path) == want
     bad = str(tmp_path / "bad.weights")
     with open(bad, "wb") as f:
         f.write(b"\0" * 1000)
     with pytest.raises(ValueError):
         yolo.infer_variant(bad)
+
+
+def test_get_detector_forced_variant_dnn_fallback(tmp_path, monkeypatch):
+    """A forced yolo variant with no darknet weights but a user dnn model
+    must construct DnnPersonDetector WITHOUT leaking the yolo-only
+    'variant' kwarg (regression: TypeError on the documented fallback)."""
+    from gaitlab.pipeline import detect, fetch
+
+    seen = {}
+
+    class StubDnn:
+        def __init__(self, model=None, config=None, **kw):
+            seen.update(kw, model=model)
+
+    monkeypatch.setattr(detect, "DnnPersonDetector", StubDnn)
+    monkeypatch.setattr(fetch, "ASSET_DIR", str(tmp_path))  # no weights
+    monkeypatch.delenv("GAITLAB_YOLO_WEIGHTS", raising=False)
+    monkeypatch.setenv("GAITLAB_DETECTOR_MODEL", "person.onnx")
+    det = detect.get_detector("yolo_tiny", input_size=320)
+    assert isinstance(det, StubDnn)
+    assert seen["model"] == "person.onnx"
+    assert "variant" not in seen
+    assert seen["input_size"] == 320
 
 
 @pytest.fixture(scope="module")
