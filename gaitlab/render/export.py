@@ -66,16 +66,19 @@ class _Buffer:
         return len(self.accessors) - 1
 
 
-def export_glb(
-    out_path: str,
+def anim_skin_data(
     pose: np.ndarray,
     betas: np.ndarray,
     smpl_params: Optional[body_smpl.SMPLParams] = None,
     trans: Optional[np.ndarray] = None,
-    fps: float = 30.0,
-) -> str:
-    """Write an animated skinned SMPL GLB (reference process_poses +
-    export_animated_mesh roles, fbx_output.py:154-260)."""
+) -> dict:
+    """Shared skinned-animation prep for the GLB and FBX writers.
+
+    Returns host-numpy: rest vertices at the given shape, faces, rest
+    joints, parents, top-4 skin influences, and per-frame local joint
+    quaternions (w,x,y,z) — the data both container formats keyframe
+    (reference process_pose roles, fbx_output.py:111-150).
+    """
     if smpl_params is None:
         smpl_params = body_smpl.synthetic_smpl_params()
     pose = np.asarray(pose, np.float32).reshape(-1, 24, 3)
@@ -98,15 +101,39 @@ def export_glb(
 
     faces = smpl_params.faces
     if faces is None:
-        raise ValueError("SMPLParams.faces required for GLB export")
+        raise ValueError("SMPLParams.faces required for mesh export")
     weights = np.asarray(smpl_params.lbs_weights)  # (V,24)
     top4 = np.argsort(-weights, axis=1)[:, :4].astype(np.uint8)
     w4 = np.take_along_axis(weights, top4.astype(np.int64), axis=1)
     w4 = (w4 / np.clip(w4.sum(1, keepdims=True), 1e-9, None)).astype(np.float32)
 
-    # per-frame local joint quaternions (x,y,z,w for glTF)
     quats_wxyz = np.asarray(geometry.axis_angle_to_quat(
         jnp.asarray(pose.reshape(-1, 3)))).reshape(T, 24, 4)
+    return {
+        "T": T, "trans": np.asarray(trans, np.float32),
+        "v_shaped": v_shaped.astype(np.float32), "faces": np.asarray(faces),
+        "joints_rest": joints_rest, "parents": parents,
+        "top4": top4, "w4": w4, "quats_wxyz": quats_wxyz,
+    }
+
+
+def export_glb(
+    out_path: str,
+    pose: np.ndarray,
+    betas: np.ndarray,
+    smpl_params: Optional[body_smpl.SMPLParams] = None,
+    trans: Optional[np.ndarray] = None,
+    fps: float = 30.0,
+) -> str:
+    """Write an animated skinned SMPL GLB (reference process_poses +
+    export_animated_mesh roles, fbx_output.py:154-260)."""
+    d = anim_skin_data(pose, betas, smpl_params, trans)
+    T, trans = d["T"], d["trans"]
+    v_shaped, faces, joints_rest = d["v_shaped"], d["faces"], d["joints_rest"]
+    parents, top4, w4, quats_wxyz = (
+        d["parents"], d["top4"], d["w4"], d["quats_wxyz"])
+
+    # glTF wants (x,y,z,w)
     quats = np.concatenate(
         [quats_wxyz[..., 1:], quats_wxyz[..., :1]], axis=-1).astype(np.float32)
     n = np.linalg.norm(quats, axis=-1, keepdims=True)
