@@ -1,0 +1,108 @@
+"""jax.export serving artifacts: bucket export, padded dispatch, and a
+fresh-interpreter reload that never imports the model code."""
+
+import os
+import subprocess
+import sys
+
+import joblib
+import numpy as np
+import pytest
+
+
+_RELOAD_SCRIPT = """
+import sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+import joblib
+import numpy as np
+
+from gaitlab import serve  # artifact loader only — no nn/ model imports
+
+art_dir, blob_path = sys.argv[1], sys.argv[2]
+blob = joblib.load(blob_path)
+model = serve.load_artifacts(art_dir)
+out = model.call(blob["variables"], blob["smpl"], blob["crops"])
+for k, want in blob["expect"].items():
+    np.testing.assert_allclose(out[k], want, rtol=1e-5, atol=1e-5,
+                               err_msg=k)
+# model code truly not loaded
+assert not any(m.startswith("gaitlab.nn") for m in sys.modules), \\
+    sorted(m for m in sys.modules if m.startswith("gaitlab.nn"))
+print("RELOAD_OK", sorted(out))
+"""
+
+
+@pytest.fixture(scope="module")
+def served(tmp_path_factory):
+    os.environ["GAITLAB_BUCKETS"] = "4"
+    try:
+        from gaitlab import serve
+        from gaitlab.nn.grnet import GRNet
+        from gaitlab.pipeline.runner import GRNetRunner
+
+        model = GRNet.create(init_img=64)
+        runner = GRNetRunner(model, crop_size=64)
+        art_dir = str(tmp_path_factory.mktemp("serve") / "artifacts")
+        manifest = serve.save_artifacts(runner, art_dir,
+                                        platforms=("cpu",))
+        yield {"runner": runner, "serve": serve, "art_dir": art_dir,
+               "manifest": manifest, "model": model}
+    finally:
+        os.environ.pop("GAITLAB_BUCKETS", None)
+
+
+def test_manifest_and_files(served):
+    m = served["manifest"]
+    assert m["buckets"] == [4] and m["raw_uint8"] and m["crop_size"] == 64
+    assert m["precision"] == "high" and not m["gait"]
+    for fname in m["files"].values():
+        path = os.path.join(served["art_dir"], fname)
+        assert os.path.getsize(path) > 1000
+
+
+def test_padded_dispatch_matches_direct(served, rng):
+    """Artifact output == the runner's own jitted program, including the
+    pad-to-bucket + slice-back path for a partial batch."""
+    runner, serve = served["runner"], served["serve"]
+    crops = rng.integers(0, 255, (3, 64, 64, 3)).astype(np.uint8)
+
+    loaded = serve.load_artifacts(served["art_dir"])
+    got = loaded.call(runner.model.variables, runner.model.smpl, crops)
+
+    jfwd = runner._forward(4, True)
+    full = np.concatenate([crops, crops[-1:]])  # same edge padding
+    want = jfwd(runner._trunk_variables(), runner._smpl_params(), full)
+    for k, v in want.items():
+        arr = np.asarray(v)[:3] if k != "pred_avg" else np.asarray(v)
+        np.testing.assert_allclose(got[k], arr, rtol=1e-5, atol=1e-5,
+                                   err_msg=k)
+
+    with pytest.raises(ValueError, match="exceeds the largest"):
+        loaded.call(runner.model.variables, runner.model.smpl,
+                    rng.integers(0, 255, (9, 64, 64, 3)).astype(np.uint8))
+
+
+def test_fresh_interpreter_reload(served, rng, tmp_path):
+    """Deserialize + run in a subprocess that never imports gaitlab.nn:
+    the artifact alone (plus weights) is the serving contract."""
+    runner = served["runner"]
+    crops = rng.integers(0, 255, (4, 64, 64, 3)).astype(np.uint8)
+    jfwd = runner._forward(4, True)
+    want = jfwd(runner._trunk_variables(), runner._smpl_params(), crops)
+
+    host = lambda t: __import__("jax").tree_util.tree_map(np.asarray, t)
+    blob_path = str(tmp_path / "blob.joblib")
+    joblib.dump({
+        "variables": host(runner.model.variables),
+        "smpl": host(runner.model.smpl),
+        "crops": crops,
+        "expect": {k: np.asarray(v) for k, v in want.items()},
+    }, blob_path)
+
+    r = subprocess.run(
+        [sys.executable, "-c", _RELOAD_SCRIPT, served["art_dir"],
+         blob_path],
+        capture_output=True, text=True, cwd=os.getcwd())
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "RELOAD_OK" in r.stdout
