@@ -83,6 +83,44 @@ def test_padded_dispatch_matches_direct(served, rng):
                     rng.integers(0, 255, (9, 64, 64, 3)).astype(np.uint8))
 
 
+def test_gait_branch_export(served, rng, tmp_path):
+    """The 6-arg gait signature (bbox/cimg/n_valid) exports and the
+    loader's padded dispatch slices its outputs correctly."""
+    from gaitlab.nn.grnet import GRNet
+    from gaitlab.pipeline.runner import GRNetRunner
+
+    serve = served["serve"]
+    model = GRNet.create(init_img=64, use_gait_feat=True)
+    runner = GRNetRunner(model, crop_size=64)
+    art_dir = str(tmp_path / "gait_art")
+    manifest = serve.save_artifacts(runner, art_dir, platforms=("cpu",))
+    assert manifest["gait"]
+
+    n = 3
+    crops = rng.integers(0, 255, (n, 64, 64, 3)).astype(np.uint8)
+    bbox = np.tile(np.array([32.0, 32.0, 40.0, 40.0], np.float32), (n, 1))
+    cimg = np.tile(np.array([32.0, 32.0], np.float32), (n, 1))
+    loaded = serve.load_artifacts(art_dir)
+    out = loaded.call(model.variables, model.smpl, crops,
+                      bbox=bbox, cimg=cimg)
+    assert out["kp_3d"].shape[0] == n
+    assert "pred_avg" in out and np.all(np.isfinite(out["pred_avg"]))
+
+
+def test_multiplatform_lowering(served):
+    """Default platforms=(tpu, cpu): one artifact must lower for both
+    (the deploy-to-pod + CPU-canary story). Runs on the CPU backend —
+    cross-platform lowering needs no TPU device, only lowering rules."""
+    from jax import export as jexport
+
+    exp = served["serve"].export_forward(served["runner"], 4)
+    assert sorted(exp.platforms) == ["cpu", "tpu"]
+    blob = exp.serialize()
+    assert len(blob) > 1000
+    exp2 = jexport.deserialize(blob)
+    assert sorted(exp2.platforms) == ["cpu", "tpu"]
+
+
 def test_fresh_interpreter_reload(served, rng, tmp_path):
     """Deserialize + run in a subprocess that never imports gaitlab.nn:
     the artifact alone (plus weights) is the serving contract."""
