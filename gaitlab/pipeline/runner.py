@@ -90,6 +90,31 @@ class GRNetRunner:
             self.buckets = tuple({-(-b // d) * d for b in self.buckets})
         self.buckets = tuple(sorted(set(self.buckets)))
 
+    def resolved_head_precision(self) -> Optional[str]:
+        """The PARE-head matmul precision actually compiled in.
+
+        "auto" resolves to single-pass bf16 ("default") only under a
+        "high" backbone — the qualified mixed mode (docs/PRECISION.json
+        r3: 0.35 mm, 1.17x); any other global precision (esp. float32
+        parity) inherits the context (None)."""
+        head_prec = self.head_precision
+        if head_prec == "auto":
+            head_prec = "default" if self.precision == "high" else None
+        return head_prec
+
+    def _resolved_module(self):
+        """The module the jitted forward actually compiles: the model's
+        module with head_precision forced to resolved_head_precision().
+        Clones even when that is None — "inherit" must actively CLEAR a
+        module-level override, or a module built with
+        head_precision="default" would keep its head at bf16 inside a
+        precision="float32" parity run."""
+        module = self.model.module
+        head_prec = self.resolved_head_precision()
+        if module.head_precision != head_prec:
+            module = module.clone(head_precision=head_prec)
+        return module
+
     # -- model forward at a fixed bucket size --------------------------------
 
     def _forward(self, n: int, raw_uint8: bool = False):
@@ -101,18 +126,9 @@ class GRNetRunner:
         key = (n, raw_uint8)
         if key in self._fwd_cache:
             return self._fwd_cache[key]
-        module = self.model.module
+        module = self._resolved_module()
         joint_mode = self.model.joint_mode
-
         precision = self.precision
-        head_prec = self.head_precision
-        if head_prec == "auto":
-            # the qualified mixed mode: head at single-pass bf16 under a
-            # "high" backbone (docs/PRECISION.json r3: 0.35 mm, 1.17x);
-            # any other global precision (esp. float32 parity) inherits
-            head_prec = "default" if precision == "high" else None
-        if head_prec and module.head_precision != head_prec:
-            module = module.clone(head_precision=head_prec)
         gait = module.use_gait_feat
         trunk_dtype = (jnp.dtype(self.trunk_dtype)
                        if self.trunk_dtype else None)

@@ -373,22 +373,10 @@ def export_fbx(
                       connections, takes], out_path)
 
 
-def export_from_pkl(pkl_path: str, out_path: str,
-                    smpl_params: Optional[body_smpl.SMPLParams] = None,
-                    person_id: Optional[int] = None, fps: float = 30.0,
-                    gender: str = "male") -> str:
-    """Reference fbx_output entry contract, .fbx flavour
-    (fbx_output.py:154-166: demo pkl -> keyframed skinned export)."""
-    import joblib
-
-    results = joblib.load(pkl_path)
-    if person_id is None:
-        person_id = max(results.keys(),
-                        key=lambda k: len(results[k]["frame_ids"]))
-    person = results[person_id]
-    return export_fbx(out_path, person["pose"], person["betas"],
-                      smpl_params=smpl_params, fps=fps, gender=gender)
-
+# The pkl -> fbx entry contract (reference fbx_output.py:154-166) lives in
+# gaitlab/cli/fbx_output.py, which owns person selection, fps decimation,
+# trans handling, and the .fbx/.glb extension dispatch — this module only
+# provides export_fbx (pose/betas -> file).
 
 # ------------------------------------------------------------------ reader
 

@@ -333,6 +333,21 @@ def calibrate_backbone_bn(module: GRNetCore, variables, images) -> dict:
     return {**variables, "batch_stats": new_bs}
 
 
+# one-slot device-pin cache for trunk_gait_batch: holds a strong ref to
+# the host tree so the `is` check stays valid (same pattern as
+# GRNetRunner._trunk_variables)
+_PIN_CACHE: list = []
+
+
+def _pinned_variables(model):
+    host = model.variables
+    if _PIN_CACHE and _PIN_CACHE[0] is host:
+        return _PIN_CACHE[1]
+    dev = jax.device_put(host)
+    _PIN_CACHE[:] = [host, dev]
+    return dev
+
+
 def trunk_gait_batch(model, b: int = 4, t: int = 32, img: int = 64,
                      seed: int = 0, noise: float = 0.1) -> dict:
     """REAL-trunk gait training batch (VERDICT r2 next-step #7).
@@ -349,11 +364,12 @@ def trunk_gait_batch(model, b: int = 4, t: int = 32, img: int = 64,
     from gaitlab.nn import gait as gait_mod
     from gaitlab.pipeline import crop as crop_mod
 
-    # pin the weight tree on device once: model.variables is a HOST numpy
-    # tree (Orbax/memo cache), and passing it to the jitted forward per
-    # clip would re-upload ~250 MB through the (slow, tunneled) H2D link
-    # on every dispatch (CLAUDE.md environment note)
-    module, variables = model.module, jax.device_put(model.variables)
+    # pin the weight tree on device ONCE PER MODEL, not once per batch:
+    # model.variables is a HOST numpy tree (Orbax/memo cache), and
+    # device_put-ing it inside every trunk_gait_batch call re-uploads
+    # ~100-250 MB through the (slow, tunneled) H2D link per batch — the
+    # CLI builds 4+ batches from the same model (cli/train.py)
+    module, variables = model.module, _pinned_variables(model)
     rng = np.random.default_rng(seed)
 
     def trunk_feats(m, images, bbox, cimg):

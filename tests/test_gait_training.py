@@ -202,3 +202,37 @@ def test_gait_training_on_real_trunk_features():
     e_un, e_tr = phase_err(params0), phase_err(state.params)
     assert e_tr < 0.85 * e_un, (
         f"held-out phase recovery did not improve: {e_un} -> {e_tr}")
+
+
+def test_trunk_batch_pins_weights_once():
+    """trunk_gait_batch must device_put the model's host weight tree at
+    most once per model (CLAUDE.md: re-uploading ~250 MB per dispatch
+    through the tunnel is the enemy) — round-3 review finding."""
+    import jax
+
+    from gaitlab import training
+
+    class _Model:
+        variables = {"params": {"w": np.ones((4,), np.float32)}}
+
+    m = _Model()
+    calls = []
+    real = jax.device_put
+    try:
+        jax.device_put = lambda tree, *a, **k: (calls.append(1),
+                                                real(tree, *a, **k))[1]
+        a = training._pinned_variables(m)
+        b = training._pinned_variables(m)
+    finally:
+        jax.device_put = real
+    assert len(calls) == 1
+    assert a is b
+    # a NEW host tree (fresh model / reloaded weights) re-pins
+    m.variables = {"params": {"w": np.zeros((4,), np.float32)}}
+    try:
+        jax.device_put = lambda tree, *a, **k: (calls.append(1),
+                                                real(tree, *a, **k))[1]
+        training._pinned_variables(m)
+    finally:
+        jax.device_put = real
+    assert len(calls) == 2

@@ -102,3 +102,30 @@ def test_parity_mode_keeps_head_inherited(monkeypatch, rng):
     runner.run_track(frames, bboxes)
     assert "float32" in seen
     assert "default" not in seen
+
+
+def test_inherit_clears_module_override():
+    """A module built with an explicit head_precision override must be
+    cloned BACK to inherit when the runner resolves head precision to
+    None — otherwise precision='float32' parity runs keep the PARE head
+    at single-pass bf16 (round-3 review finding)."""
+    from gaitlab.nn.grnet import GRNet
+    from gaitlab.pipeline.runner import GRNetRunner
+
+    model = GRNet.create(init_img=32, head_precision="default")
+    assert model.module.head_precision == "default"
+
+    parity = GRNetRunner(model, buckets=(4,), crop_size=32,
+                         precision="float32")
+    assert parity.resolved_head_precision() is None
+    assert parity._resolved_module().head_precision is None
+
+    # the qualified default keeps / sets the bf16 head
+    prod = GRNetRunner(model, buckets=(4,), crop_size=32)
+    assert prod.resolved_head_precision() == "default"
+    assert prod._resolved_module().head_precision == "default"
+
+    # explicit runner override wins over both
+    forced = GRNetRunner(model, buckets=(4,), crop_size=32,
+                         precision="float32", head_precision="highest")
+    assert forced._resolved_module().head_precision == "highest"
