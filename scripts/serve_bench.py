@@ -33,6 +33,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+sys.path.insert(0, osp.join(osp.dirname(__file__), ".."))
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
