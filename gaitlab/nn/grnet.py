@@ -59,6 +59,12 @@ class GRNetCore(nn.Module):
     backbone_cast_after: tuple = ()
     # Space-to-depth packed stem conv (HRNetCfg.stem_s2d experiment).
     stem_s2d: bool = False
+    # Stage depth (HRNetCfg.w modules/blocks): deployed topology is
+    # (1, 4, 3) modules x 4 blocks; dryruns/tests shrink these to cut
+    # XLA:CPU compile time (op-count-bound) while keeping every branch/
+    # transition/fuse path and parameter shape family.
+    backbone_modules: tuple = (1, 4, 3)
+    backbone_blocks: int = 4
     # Matmul precision for the PARE head, overriding the caller's global
     # context ("default" | "high" | "float32"; None = inherit). The
     # qualified production mode runs the backbone at "high" and the head
@@ -88,7 +94,9 @@ class GRNetCore(nn.Module):
                        pack_low_channel=self.pack_low_channel,
                        region_precision=self.backbone_region_precision,
                        cast_after=self.backbone_cast_after,
-                       stem_s2d=self.stem_s2d),
+                       stem_s2d=self.stem_s2d,
+                       modules=self.backbone_modules,
+                       blocks=self.backbone_blocks),
             name="backbone",
         )
         self.head = PareHead(

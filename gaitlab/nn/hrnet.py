@@ -88,7 +88,15 @@ class HRNetCfg:
           pack_low_channel: int = 0,
           region_precision: tuple = (),
           cast_after: tuple = (),
-          stem_s2d: bool = False) -> "HRNetCfg":
+          stem_s2d: bool = False,
+          modules: tuple = (1, 4, 3),
+          blocks: int = 4) -> "HRNetCfg":
+        """`modules`/`blocks` shrink stage depth for dryrun/test models:
+        the deployed topology (reference hrnet.py STAGE2/3/4 cfg) is
+        modules=(1,4,3), blocks=4; e.g. modules=(1,1,1), blocks=1 keeps
+        every branch/transition/fuse path (and thus every parameter
+        *shape family*) while cutting the op count ~10x — XLA:CPU compile
+        time is op-count-bound, not FLOP-bound."""
         return HRNetCfg(
             width=width,
             downsample=downsample,
@@ -97,9 +105,11 @@ class HRNetCfg:
             region_precision=tuple(region_precision),
             cast_after=tuple(cast_after),
             stem_s2d=stem_s2d,
-            stage2=StageCfg(1, 2, (4, 4), (width, width * 2), "BASIC"),
-            stage3=StageCfg(4, 3, (4, 4, 4), (width, width * 2, width * 4), "BASIC"),
-            stage4=StageCfg(3, 4, (4, 4, 4, 4),
+            stage2=StageCfg(modules[0], 2, (blocks,) * 2,
+                            (width, width * 2), "BASIC"),
+            stage3=StageCfg(modules[1], 3, (blocks,) * 3,
+                            (width, width * 2, width * 4), "BASIC"),
+            stage4=StageCfg(modules[2], 4, (blocks,) * 4,
                             (width, width * 2, width * 4, width * 8), "BASIC"),
         )
 
