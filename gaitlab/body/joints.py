@@ -196,6 +196,16 @@ register_format("posetrack", [
     "rknee", "lankle", "rankle",
 ])
 
+# Raw PoseTrack annotation names (kp_utils.py:396-415). Unlike "posetrack"
+# above (canonical interchange names), this is the dataset's own naming —
+# kept for annotation-file parity; convert by position, not by name.
+register_format("posetrack_original", [
+    "nose", "head_bottom", "head_top", "left_ear", "right_ear",
+    "left_shoulder", "right_shoulder", "left_elbow", "right_elbow",
+    "left_wrist", "right_wrist", "left_hip", "right_hip", "left_knee",
+    "right_knee", "left_ankle", "right_ankle",
+])
+
 register_format("pennaction", [
     "headtop", "lshoulder", "rshoulder", "lelbow", "relbow", "lwrist",
     "rwrist", "lhip", "rhip", "lknee", "rknee", "lankle", "rankle",

@@ -252,6 +252,46 @@ def video_to_images(
     return img_folder
 
 
+def trim_video(vid_file: str, start_time: float, end_time: float,
+               output_vid_file: str) -> int:
+    """Cut [start_time, end_time) seconds out of a video into a new file
+    (reference trim_videos, demo_utils.py:92-103, which shells out to the
+    ffmpeg binary; this image has none, so the cut rides cv2's bundled
+    FFMPEG — decode the window, re-encode mp4v). Returns frames written."""
+    import cv2
+
+    cap = cv2.VideoCapture(vid_file)
+    if not cap.isOpened():
+        raise FileNotFoundError(vid_file)
+    fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
+    w = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+    h = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+    first = int(round(start_time * fps))
+    last = int(round(end_time * fps))  # exclusive
+    os.makedirs(osp.dirname(output_vid_file) or ".", exist_ok=True)
+    writer = cv2.VideoWriter(output_vid_file,
+                             cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
+    n = 0
+    try:
+        idx = 0
+        while idx < last:
+            ok, frame = cap.read()
+            if not ok:
+                break
+            if idx >= first:
+                writer.write(frame)
+                n += 1
+            idx += 1
+    finally:
+        cap.release()
+        writer.release()
+    return n
+
+
+# Reference-spelled alias (demo_utils.py:92 `trim_videos`).
+trim_videos = trim_video
+
+
 def images_to_video(img_folder: str, output_vid_file: str,
                     fps: float = 30.0) -> None:
     """Encode `<folder>/%06d.png` to a video (demo_utils.py:160-173)."""

@@ -182,6 +182,204 @@ def write_panel_video(panel_video: np.ndarray, path: str,
     return path
 
 
+# ---------------------------------------------------------------------------
+# Debug / inspection utilities (reference vis.py:154-569)
+# ---------------------------------------------------------------------------
+
+# Named color table (reference get_colors, vis.py:58-75) — RGB uint8.
+COLORS = {
+    "pink": (197, 27, 125),
+    "light_pink": (233, 163, 201),
+    "light_green": (161, 215, 106),
+    "green": (77, 146, 33),
+    "red": (215, 48, 39),
+    "light_red": (252, 146, 114),
+    "light_orange": (252, 141, 89),
+    "purple": (118, 42, 131),
+    "light_purple": (175, 141, 195),
+    "light_blue": (145, 191, 219),
+    "blue": (69, 117, 180),
+    "gray": (130, 130, 130),
+    "white": (255, 255, 255),
+}
+
+
+def draw_smpl_joints2d(image: np.ndarray, joints2d: np.ndarray,
+                       parents=None, thickness: int = 2,
+                       radius: int = 4) -> np.ndarray:
+    """Draw the 24-joint SMPL kinematic tree on an image, in place
+    (reference draw_SMPL_joints2D, vis.py:154-176: bone i gets the
+    left/right alternating red/blue color; joint coords are pixels).
+
+    parents: SMPL parent table; default gaitlab.body.smpl.PARENTS
+    (equivalent to the reference's kintree_table rows [parent, child])."""
+    import cv2
+
+    if parents is None:
+        from gaitlab.body.smpl import PARENTS
+        parents = PARENTS
+    rcolor, lcolor = COLORS["red"], COLORS["blue"]
+    kp = np.nan_to_num(np.asarray(joints2d, np.float64))
+    for i in range(1, len(parents)):
+        color = lcolor if i % 2 == 0 else rcolor
+        p1 = (int(kp[parents[i], 0]), int(kp[parents[i], 1]))
+        p2 = (int(kp[i, 0]), int(kp[i, 1]))
+        cv2.line(image, p1, p2, color, thickness)
+        cv2.circle(image, p1, radius, color, -1)
+        cv2.circle(image, p2, radius, color, -1)
+    return image
+
+
+# H36M 17-joint connectivity + left/right flags (reference show3Dpose,
+# vis.py:178-200).
+_H36M17_EDGES = ((0, 1), (1, 2), (2, 3), (0, 4), (4, 5), (5, 6), (0, 7),
+                 (7, 8), (8, 9), (9, 10), (8, 11), (11, 12), (12, 13),
+                 (8, 14), (14, 15), (15, 16))
+_H36M17_LR = (0, 0, 0, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0)
+
+
+def show_3d_pose(channels: np.ndarray, ax, radius: float = 40.0,
+                 lcolor: str = "#ff0000", rcolor: str = "#0000ff"):
+    """Plot one H36M-17 pose on a matplotlib 3D axis, limits centered on
+    the root (reference show3Dpose, vis.py:178-200)."""
+    vals = np.asarray(channels, np.float64).reshape(-1, 3)
+    for ind, (i, j) in enumerate(_H36M17_EDGES):
+        xs, ys, zs = ([vals[i, c], vals[j, c]] for c in range(3))
+        ax.plot(xs, ys, zs, lw=2, c=lcolor if _H36M17_LR[ind] else rcolor)
+    xr, yr, zr = vals[0]
+    ax.set_xlim3d([-radius + xr, radius + xr])
+    ax.set_zlim3d([-radius + zr, radius + zr])
+    ax.set_ylim3d([-radius + yr, radius + yr])
+    ax.set_xlabel("x")
+    ax.set_ylabel("y")
+    ax.set_zlabel("z")
+    return ax
+
+
+def visualize_sequence(sequence: np.ndarray, radius: float = 0.6,
+                       elev: float = -75.0, azim: float = -90.0,
+                       out_path: Optional[str] = None,
+                       fps: float = 25.0) -> np.ndarray:
+    """Render a (T, J*3) or (T, J, 3) pose sequence to a (T, H, W, 3)
+    uint8 frame array via the Agg backend (reference visualize_sequence,
+    vis.py:202-219 — which plt.pause()-animates on screen; this container
+    is headless, so frames are returned and optionally written as mp4
+    with write_panel_video)."""
+    import matplotlib
+    matplotlib.use("Agg", force=False)
+    import matplotlib.pyplot as plt
+
+    seq = np.asarray(sequence, np.float64)
+    seq = seq.reshape(seq.shape[0], -1, 3)
+    frames = []
+    fig = plt.figure(figsize=(6, 4), dpi=80)
+    try:
+        for pose in seq:
+            ax = fig.add_subplot(111, projection="3d")
+            show_3d_pose(pose, ax, radius=radius)
+            ax.view_init(elev, azim)
+            fig.canvas.draw()
+            buf = np.asarray(fig.canvas.buffer_rgba())[..., :3]
+            frames.append(buf.copy())
+            fig.clf()
+    finally:
+        plt.close(fig)
+    video = np.stack(frames)
+    if out_path is not None:
+        write_panel_video(video, out_path, fps=fps)
+    return video
+
+
+def batch_check_preds(images: np.ndarray, preds: dict, fmt: str = "spin2",
+                      crop_size: int = 224,
+                      faces: Optional[np.ndarray] = None) -> np.ndarray:
+    """Annotation sanity-check panel: one visualize_preds row per frame of
+    a batch, vertically stacked (reference batch_check_preds, vis.py:331-357
+    — which is broken as shipped: it references the undefined
+    `target_exists`/`single_target` inside its key loop; defect fixed here,
+    logged in PARITY.md footer).
+
+    preds: {'kp_2d': (N,J,2[+conf]), optional 'verts': (N,V,3),
+    'theta': (N,85)} host arrays (the vp_regress layout)."""
+    kp = np.asarray(preds["kp_2d"])
+    verts = np.asarray(preds["verts"]) if "verts" in preds else None
+    cams = np.asarray(preds["theta"])[:, :3] if "theta" in preds else None
+    rows = []
+    for i in range(len(images)):
+        rows.append(visualize_preds(
+            images[i], kp[i], fmt=fmt, crop_size=crop_size,
+            pred_verts=verts[i] if verts is not None else None,
+            cam=cams[i] if (cams is not None and verts is not None) else None,
+            faces=faces))
+    return np.concatenate(rows, axis=0)
+
+
+def regressor_output_from_features(features: np.ndarray, hmr=None,
+                                   joint_mode: str = "spin2"):
+    """Run the SPIN iterative regressor + SMPL on precomputed backbone
+    features -> (verts (B,T,V,3), cam (B,T,3)) (reference
+    get_regressor_output, vis.py:473-508, which loads models/model_best
+    .pth.tar; pass an `HMR` bundle with imported weights for that — the
+    default builds a fresh one, enough for shape/plumbing checks)."""
+    import jax.numpy as jnp
+
+    from gaitlab.nn import spin as spin_mod
+
+    if hmr is None:
+        hmr = spin_mod.HMR.create(joint_mode=joint_mode)
+    feats = jnp.asarray(features)
+    b, t = feats.shape[:2]
+    feats = feats.reshape(b * t, -1)
+    p, s, c = spin_mod.default_init_params(b * t, hmr.mean_params)
+    pose6d, shape, cam = hmr.module.apply(
+        hmr.variables, feats, p, s, c, method=lambda m, *a: m.head(*a))
+    out = spin_mod.regress_output(hmr.smpl, pose6d, shape, cam,
+                                  joint_mode=hmr.joint_mode)[0]
+    verts = np.asarray(out["verts"]).reshape(b, t, -1, 3)
+    cam = np.asarray(cam).reshape(b, t, -1)
+    return verts, cam
+
+
+def show_video(video: np.ndarray, fps: float = 25.0,
+               window: str = "gaitlab") -> bool:
+    """Play a (T,H,W,3) RGB frame array in a cv2 window (reference
+    show_video, vis.py:510-520). Headless-safe: returns False without
+    raising when no display exists (this container's cv2 is a headless
+    build whose imshow abort()s rather than raising, so the guard must
+    run before any GUI call)."""
+    import os as _os
+    import sys as _sys
+    import time as _time
+
+    import cv2
+
+    if _sys.platform.startswith("linux") and not (
+            _os.environ.get("DISPLAY") or _os.environ.get("WAYLAND_DISPLAY")):
+        return False
+    try:
+        for frame in video:
+            cv2.imshow(window, cv2.cvtColor(frame, cv2.COLOR_RGB2BGR))
+            if cv2.waitKey(1) & 0xFF == ord("q"):
+                break
+            _time.sleep(1.0 / fps)
+        cv2.destroyAllWindows()
+        return True
+    except cv2.error:
+        return False
+
+
+def show_preds(video: np.ndarray, preds: dict, max_video: int = 4,
+               fmt: str = "spin2",
+               faces: Optional[np.ndarray] = None) -> np.ndarray:
+    """Prediction panel videos for a batch of clips: (N,T,H,W,3) uint8 in,
+    per-frame visualize_preds panels out, stacked back to (N,T,H',W',3)
+    (reference show_preds, vis.py:522-569 — NTCHW there for torch; NHWC
+    here). Equivalent to visualize_batch_vid_preds without targets."""
+    return visualize_batch_vid_preds(video, preds, target=None,
+                                     max_video=max_video, fmt=fmt,
+                                     faces=faces)
+
+
 def body_orientation_rotmat(joints3d_frame: np.ndarray) -> np.ndarray:
     """Procrustes rotation aligning the body to +x for matplotlib display
     (reference demo.py:239-247: hip x shoulder cross product, 49-joint

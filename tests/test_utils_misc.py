@@ -149,6 +149,105 @@ def test_vis_video_panels(tmp_path, rng):
     assert os.path.getsize(path) > 0
 
 
+def test_vis_debug_utils(rng):
+    """Debug surface (reference vis.py:154-569): SMPL kintree overlay,
+    H36M-17 3D pose axes, sequence renderer, batch annotation check."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from gaitlab.render import vis
+
+    # draw_smpl_joints2d (vis.py:154): draws all 23 bones in place
+    img = np.zeros((64, 64, 3), np.uint8)
+    j2d = rng.uniform(5, 59, (24, 2)).astype(np.float32)
+    out = vis.draw_smpl_joints2d(img, j2d)
+    assert out is img and img.any()
+
+    # show_3d_pose (vis.py:178): 16 edges on a 3D axis, root-centered limits
+    fig = plt.figure()
+    ax = fig.add_subplot(111, projection="3d")
+    pose = rng.normal(size=(17, 3))
+    vis.show_3d_pose(pose, ax, radius=1.0)
+    assert len(ax.lines) == 16
+    lo, hi = ax.get_xlim3d()
+    assert lo == pytest.approx(pose[0, 0] - 1.0)
+    assert hi == pytest.approx(pose[0, 0] + 1.0)
+    plt.close(fig)
+
+    # visualize_sequence (vis.py:202): headless -> (T,H,W,3) frames
+    seq = rng.normal(size=(2, 17 * 3)).astype(np.float32)
+    frames = vis.visualize_sequence(seq, radius=1.0)
+    assert frames.shape[0] == 2 and frames.dtype == np.uint8
+
+    # batch_check_preds (vis.py:331, defect-fixed): stacked panel rows
+    imgs = rng.normal(size=(2, 64, 64, 3)).astype(np.float32)
+    preds = {"kp_2d": rng.uniform(-1, 1, (2, 29, 2)).astype(np.float32)}
+    panel = vis.batch_check_preds(imgs, preds, crop_size=64)
+    assert panel.shape == (2 * 64, 2 * 64, 3)
+
+    # show_video (vis.py:510): headless container -> graceful False
+    assert vis.show_video(np.zeros((1, 8, 8, 3), np.uint8)) in (True, False)
+
+
+def test_vis_regressor_output_from_features():
+    """get_regressor_output equivalent (vis.py:473-508): features ->
+    (verts, cam) with the reference's (B, T, ...) layout."""
+    from gaitlab.render import vis
+
+    feats = np.random.default_rng(0).normal(size=(2, 3, 2048)).astype(
+        np.float32)
+    verts, cam = vis.regressor_output_from_features(feats)
+    assert verts.shape == (2, 3, 6890, 3)
+    assert cam.shape == (2, 3, 3)
+    assert np.isfinite(verts).all() and np.isfinite(cam).all()
+
+
+def test_vis_show_preds(rng):
+    """show_preds (vis.py:522-569): batch of clips -> panel videos."""
+    from gaitlab.render import vis
+
+    video = rng.normal(size=(2, 2, 64, 64, 3)).astype(np.float32)
+    preds = {"kp_2d": rng.uniform(-1, 1, (2, 2, 29, 2)).astype(np.float32)}
+    out = vis.show_preds(video, preds, max_video=1)
+    assert out.shape == (1, 2, 64, 2 * 64, 3) and out.dtype == np.uint8
+
+
+def test_trim_video(tmp_path, rng):
+    """trim_videos equivalent (demo_utils.py:92-103): frame-exact cut."""
+    import cv2
+
+    from gaitlab.pipeline import video as video_mod
+
+    src = str(tmp_path / "src.mp4")
+    w = cv2.VideoWriter(src, cv2.VideoWriter_fourcc(*"mp4v"), 10.0, (32, 32))
+    for i in range(20):
+        w.write(np.full((32, 32, 3), i * 10, np.uint8))
+    w.release()
+
+    dst = str(tmp_path / "cut.mp4")
+    n = video_mod.trim_video(src, start_time=0.5, end_time=1.5,
+                             output_vid_file=dst)
+    assert n == 10  # [5, 15) at 10 fps
+    frames = list(video_mod.read_frames(dst))
+    assert len(frames) == 10
+    # first kept frame is source frame 5 (value 50); mp4 lossy -> loose tol
+    assert abs(int(frames[0].mean()) - 50) < 12
+    assert video_mod.trim_videos is video_mod.trim_video
+
+
+def test_posetrack_original_names():
+    """Raw PoseTrack annotation-name table (kp_utils.py:396-415)."""
+    from gaitlab.body import joints
+
+    names = joints.get_joint_names("posetrack_original")
+    assert len(names) == 17
+    assert names[0] == "nose" and names[1] == "head_bottom"
+    assert names[-1] == "right_ankle"
+    # positionally aligned with the canonical posetrack table's L/R pairs
+    assert len(joints.get_joint_names("posetrack")) == 17
+
+
 def test_render_image(rng):
     from gaitlab.render import vis
 
