@@ -11,8 +11,13 @@ schema {vid_name, bbox, joints3D(kinectv2 25x3)} dumped as
 TPU-native extensions (documented, additive):
   * --num_shards / --shard_id: multi-host scale-out by video (DCN-level
     process sharding, SURVEY.md §2C — embarrassingly parallel, no
-    collectives);
+    collectives). With num_shards > 1 each worker writes
+    `<outpath>.w{shard_id}_{k}.json`, so every worker can point at the
+    SAME outpath (e.g. a shared filesystem) without colliding;
   * --resume: skip shard files that already exist (idempotent restarts);
+  * --cpu_only / --crop_size: run on the CPU backend / at a dryrun-sized
+    trunk (224 is the deployed operating point — other values are for
+    tests and plumbing checks, mirroring GRNet.create(init_img=...));
   * --stream: decode clips straight from the container at the same
     fps-20 resample (pipeline/video.VideoChunkReader) instead of the
     reference's video->PNG-folder->re-decode round trip — identical frame
@@ -71,6 +76,13 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["high", "float32", "default"],
                    help="matmul precision (extension flag; see demo.py "
                         "--precision / docs/PRECISION.json).")
+    p.add_argument("--cpu_only", action="store_true",
+                   help="force the CPU backend (extension flag, matches "
+                        "demo.py --cpu_only).")
+    p.add_argument("--crop_size", type=int, default=224,
+                   help="trunk input size; 224 is the deployed operating "
+                        "point, other values build dryrun/test-sized "
+                        "models (extension flag).")
     return p
 
 
@@ -95,7 +107,19 @@ def run_grnet_on_frames(runner, img_dir: str, frames: np.ndarray,
     return {"kp_3d": kp_3d.astype(np.float32)}
 
 
-def _flush_db(db: dict, outpath: str, out_ind: int, start_time: float):
+def _shard_path(outpath: str, out_ind: int, num_shards: int = 1,
+                shard_id: int = 0) -> str:
+    """Per-flush output file. Single worker keeps the reference naming
+    `<outpath>_{k}.json` (batch_generation.py:276); multiple workers get
+    worker-disjoint names so a shared outpath never collides."""
+    assert outpath.endswith(".json")
+    base = outpath[:-5]
+    if num_shards > 1:
+        return f"{base}.w{shard_id}_{out_ind}.json"
+    return f"{base}_{out_ind}.json"
+
+
+def _flush_db(db: dict, outfp: str, start_time: float):
     for k, v in db.items():
         if isinstance(v[0], np.ndarray):
             db[k] = np.concatenate(v, axis=0).astype(np.float32)
@@ -104,8 +128,6 @@ def _flush_db(db: dict, outpath: str, out_ind: int, start_time: float):
         print(f"{k} shape: {db[k].shape}")
     rate = db["vid_name"].shape[0] / (time.time() - start_time)
     print(f"=====>>> Generation frame rate: {rate}.")
-    assert outpath.endswith(".json")
-    outfp = outpath[:-5] + f"_{out_ind}.json"
     joblib.dump(dict(db), outfp)
     print(f"Save database to {outfp}.")
     return outfp
@@ -115,8 +137,13 @@ def prepare_data(fv: str, vid_folder: str, outpath: str,
                  pretrained_file: str = None, smpl_model: str = None,
                  num_shards: int = 1, shard_id: int = 0,
                  resume: bool = False, debug: bool = False,
-                 stream: bool = False, precision: str = None):
+                 stream: bool = False, precision: str = None,
+                 cpu_only: bool = False, crop_size: int = 224):
     """Reference prepare_data (batch_generation.py:180-287), TPU pipeline."""
+    if cpu_only:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     from gaitlab.cli.demo import load_model
     from gaitlab.pipeline import video as video_mod
     from gaitlab.pipeline.runner import GRNetRunner
@@ -129,29 +156,35 @@ def prepare_data(fv: str, vid_folder: str, outpath: str,
 
     args = argparse.Namespace(ckpt=pretrained_file or "",
                               smpl_model=smpl_model, cfg=None)
-    model = load_model(args, cfg=None)
+    model = load_model(args, cfg=None, init_img=crop_size)
     # database schema stores only joints3D: skip the 6890-vertex readback
     rkw = {"precision": precision} if precision else {}
-    runner = GRNetRunner(model, fetch=("kp_3d",), **rkw)
+    runner = GRNetRunner(model, fetch=("kp_3d",), crop_size=crop_size,
+                         **rkw)
     if not outpath.endswith(".json"):
         outpath = outpath + ".json"
+
+    # shard granularity override for tests/ops (videos per output file;
+    # the reference flushes every MAX_VID=50, batch_generation.py:37)
+    max_vid = int(os.environ.get("GAITLAB_BG_MAXVID", MAX_VID))
 
     db = defaultdict(list)
     failed = []
     start = time.time()
     out_ind = 0
     for idx, vid_name in enumerate(vidnames):
-        if idx % MAX_VID == 0 and idx > 0 and (len(vidnames) - idx) > 10:
-            outfp = outpath[:-5] + f"_{out_ind}.json"
+        if idx % max_vid == 0 and idx > 0 and (len(vidnames) - idx) > 10:
+            outfp = _shard_path(outpath, out_ind, num_shards, shard_id)
             if not (resume and osp.isfile(outfp)):
-                _flush_db(db, outpath, out_ind, start)
+                _flush_db(db, outfp, start)
             out_ind += 1
             db = defaultdict(list)
             start = time.time()
         print("=" * 50 + f" process video {idx + 1}/{len(vidnames)} " + "=" * 50)
         if debug and idx > 5:
             break
-        if resume and osp.isfile(outpath[:-5] + f"_{out_ind}.json"):
+        if resume and osp.isfile(
+                _shard_path(outpath, out_ind, num_shards, shard_id)):
             continue  # shard already produced by a previous run
         if vid_name.split(".")[0] not in annos:
             print(f"Skip video {vid_name}, no precomputed 2D joints!")
@@ -196,9 +229,11 @@ def prepare_data(fv: str, vid_folder: str, outpath: str,
             failed.append({"vid_name": vid_name, "error": str(e)})
 
     if len(db):
-        _flush_db(db, outpath, out_ind, start)
+        _flush_db(db, _shard_path(outpath, out_ind, num_shards, shard_id),
+                  start)
     if failed:
-        failpath = outpath[:-5] + "_failed.json"
+        failpath = outpath[:-5] + (f".w{shard_id}_failed.json"
+                                   if num_shards > 1 else "_failed.json")
         joblib.dump(failed, failpath)
         print(f"{len(failed)} videos failed; manifest at {failpath}.")
     return out_ind + (1 if len(db) else 0)
@@ -215,7 +250,8 @@ def main(args):
                  outpath=args.outpath, pretrained_file=args.pretrained_file,
                  smpl_model=args.smpl_model, num_shards=args.num_shards,
                  shard_id=args.shard_id, resume=args.resume,
-                 stream=args.stream, precision=args.precision)
+                 stream=args.stream, precision=args.precision,
+                 cpu_only=args.cpu_only, crop_size=args.crop_size)
 
 
 if __name__ == "__main__":

@@ -106,9 +106,11 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def load_model(args, cfg):
+def load_model(args, cfg, init_img: int = 224):
     """GRNet + weights. Torch checkpoints are converted on the fly via
-    gaitlab.weights.torch_import (the reference's 3 remap rules)."""
+    gaitlab.weights.torch_import (the reference's 3 remap rules).
+    init_img != 224 builds the cheap dryrun/test-sized trunk (see
+    GRNet.create) — pair with GRNetRunner(crop_size=init_img)."""
     import jax
 
     from gaitlab.body import smpl as body_smpl
