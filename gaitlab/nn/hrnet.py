@@ -301,9 +301,17 @@ class PoseHighResolutionNet(nn.Module):
     def _prec(self, region: str):
         """Trace-time matmul-precision context for a named region (see
         HRNetCfg.region_precision); innermost context wins over the
-        caller's global default_matmul_precision."""
+        caller's global default_matmul_precision. The special values
+        "w2x"/"a2x" are not XLA precisions — they switch every conv()
+        built inside the region to the explicit 2-pass decomposition
+        (layers.conv_w2x / conv_a2x) via the trace-time conv_mode
+        context; parameter paths are unchanged."""
         for r, p in self.cfg.region_precision:
             if r == region:
+                if p in ("w2x", "a2x"):
+                    from gaitlab.nn.layers import conv_mode
+
+                    return conv_mode(p)
                 return jax.default_matmul_precision(p)
         return contextlib.nullcontext()
 

@@ -7,6 +7,8 @@ Naming convention: submodule names mirror the reference torch module paths
 
 from __future__ import annotations
 
+import contextvars
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -17,9 +19,17 @@ BN_EPS = 1e-5  # torch BatchNorm2d default
 
 
 def conv(features: int, kernel: int, stride: int = 1, padding: int | None = None,
-         use_bias: bool = False, name: str | None = None) -> nn.Conv:
+         use_bias: bool = False, name: str | None = None) -> nn.Module:
+    """Conv factory. Under an active `conv_mode("w2x"/"a2x")` context
+    (trace-time, set per region by the HRNet backbone) it returns a
+    ConvW2X/ConvA2X drop-in with the identical 'kernel' parameter —
+    checkpoint import is untouched."""
     if padding is None:
         padding = (kernel - 1) // 2
+    mode = _CONV_MODE.get()
+    if mode in ("w2x", "a2x") and not use_bias:
+        return _Conv2Pass(features=features, kernel=kernel, stride=stride,
+                          padding=padding, mode=mode, name=name)
     return nn.Conv(
         features=features,
         kernel_size=(kernel, kernel),
@@ -28,6 +38,49 @@ def conv(features: int, kernel: int, stride: int = 1, padding: int | None = None
         use_bias=use_bias,
         name=name,
     )
+
+
+_CONV_MODE: contextvars.ContextVar = contextvars.ContextVar(
+    "gaitlab_conv_mode", default=None)
+
+
+def conv_mode(mode: str | None):
+    """Trace-time context switching conv() to a 2-pass decomposition
+    ("w2x"/"a2x", see conv_w2x/conv_a2x) for the enclosed module calls.
+    Everything under jit is traced once, so this is a compile-time
+    structural choice, not runtime control flow."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def _ctx():
+        tok = _CONV_MODE.set(mode)
+        try:
+            yield
+        finally:
+            _CONV_MODE.reset(tok)
+
+    return _ctx()
+
+
+class _Conv2Pass(nn.Module):
+    """nn.Conv(use_bias=False) drop-in evaluating via conv_w2x/conv_a2x.
+
+    Declares the identical 'kernel' parameter (name, shape, init), so the
+    variable tree — and therefore torch weight import — is unchanged."""
+
+    features: int
+    kernel: int
+    stride: int
+    padding: int
+    mode: str
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        k = self.param(
+            "kernel", nn.linear.default_kernel_init,
+            (self.kernel, self.kernel, x.shape[-1], self.features))
+        fn = conv_w2x if self.mode == "w2x" else conv_a2x
+        return fn(x, k, stride=self.stride, padding=self.padding)
 
 
 def batch_norm(train: bool, name: str | None = None) -> nn.BatchNorm:
@@ -128,6 +181,79 @@ def keypoint_attention(features: Array, heatmaps: Array, act: str = "softmax",
     feat = features.reshape(b, h * w, c)
     return jnp.einsum("bpj,bpc->bjc", attn, feat,
                       precision=jax.lax.Precision.HIGHEST)
+
+
+def conv_w2x(x: Array, kernel: Array, stride: int = 1,
+             padding: int | None = None) -> Array:
+    """Two-pass kernel-decomposition convolution ("w2x").
+
+    The TPU MXU offers 1-pass (DEFAULT: both operands rounded to bf16),
+    3-pass (HIGH / bf16_3x) and 6-pass (HIGHEST) f32 matmuls — nothing in
+    between. This builds the missing 2-pass point: split the kernel into
+    k_hi = bf16(k) and k_lo = bf16(k - k_hi) (both exactly representable
+    in bf16) and run two DEFAULT-precision passes,
+
+        y = conv(x, k_hi) + conv(x, k_lo) = bf16(x) . k  (f32 accumulate),
+
+    so the kernel is carried to ~16 mantissa bits and only the
+    *activation* is rounded once per output — ~sqrt(2) less error than
+    DEFAULT (which rounds both operands: two independent error terms), at
+    2/3 of HIGH's MACs. Motivated by the MFU trace (docs/MFU_TRACE.json):
+    the HR upsample-head convs are compute-bound at 92% MXU under HIGH,
+    so pass count is their only lever (docs/PRECISION.json heads_w2x).
+
+    The split uses mantissa-bit masking, NOT a bf16 round-trip cast:
+    XLA's algebraic simplifier deletes f32->bf16->f32 convert pairs, which
+    silently turns the cast-based split into k_hi = k, k_lo = 0 — i.e.
+    plain DEFAULT (measured: identical outputs, bit for bit)."""
+    if padding is None:
+        padding = (kernel.shape[0] - 1) // 2
+    k = kernel.astype(jnp.float32)
+    k_hi = _bf16_hi(k)
+    k_lo = _bf16_hi(k - k_hi)
+    dn = ("NHWC", "HWIO", "NHWC")
+    args = dict(window_strides=(stride, stride),
+                padding=((padding, padding), (padding, padding)),
+                dimension_numbers=dn,
+                precision=jax.lax.Precision.DEFAULT)
+    x = x.astype(jnp.float32)
+    return (jax.lax.conv_general_dilated(x, k_hi, **args)
+            + jax.lax.conv_general_dilated(x, k_lo, **args))
+
+
+def _bf16_hi(a: Array) -> Array:
+    """The bf16-representable high part of f32 values, by masking the low
+    16 mantissa bits (truncation toward zero). Equivalent in role to
+    a.astype(bf16).astype(f32) but immune to XLA's convert-pair
+    simplification, which deletes that round trip outright."""
+    bits = jax.lax.bitcast_convert_type(a, jnp.uint32)
+    return jax.lax.bitcast_convert_type(
+        bits & jnp.uint32(0xFFFF0000), jnp.float32)
+
+
+def conv_a2x(x: Array, kernel: Array, stride: int = 1,
+             padding: int | None = None) -> Array:
+    """conv_w2x's mirror: 2-pass ACTIVATION decomposition.
+
+    x_hi/x_lo = masked bf16-representable parts of x (see _bf16_hi) and
+    two DEFAULT passes give y = x . bf16(k) — the activation is carried to
+    ~16 mantissa bits and only the *kernel* is rounded once. Same 2/3-of-
+    HIGH cost as w2x; which of the two compounds less MPJPE through the
+    stack is an empirical question (docs/PRECISION.json heads_w2x vs
+    heads_a2x rows)."""
+    if padding is None:
+        padding = (kernel.shape[0] - 1) // 2
+    x = x.astype(jnp.float32)
+    x_hi = _bf16_hi(x)
+    x_lo = _bf16_hi(x - x_hi)
+    k = kernel.astype(jnp.float32)
+    dn = ("NHWC", "HWIO", "NHWC")
+    args = dict(window_strides=(stride, stride),
+                padding=((padding, padding), (padding, padding)),
+                dimension_numbers=dn,
+                precision=jax.lax.Precision.DEFAULT)
+    return (jax.lax.conv_general_dilated(x_hi, k, **args)
+            + jax.lax.conv_general_dilated(x_lo, k, **args))
 
 
 # ---------------------------------------------------------------------------

@@ -71,13 +71,24 @@ def run_video_onepass(
     max_age: int = 3,   # = smooth_tracking interv-2: see module docstring
     min_hits: int = 3,
     iou_threshold: float = 0.3,
+    timer=None,
 ) -> dict:
     """Single-decode video -> per-track model outputs.
 
     Returns {person_id: run_track-style output dict + 'frames' (N,) int +
     'bboxes' (N,4) cxcywh}. Tracks shorter than `min_frames` are dropped
     (reference MIN_NUM_FRAMES gate, demo.py:41,100-103).
+
+    `timer` (a gaitlab.utils.StageTimer) collects per-stage HOST busy
+    time — decode / detect / sort / crop / feed / finish — so utilization
+    can be audited: on a 1-core host the CPU stages serialize (they cannot
+    overlap each other, only device work), so wall ≈ Σ(host stages) +
+    un-hidden device wait. See docs/ONEPASS_UTILIZATION.json.
     """
+    import contextlib
+
+    stage = timer.stage if timer is not None else (
+        lambda name: contextlib.nullcontext())
     if detector is None:
         from gaitlab.pipeline.detect import MedianBackgroundDetector
 
@@ -118,9 +129,11 @@ def run_video_onepass(
 
     def process(frames: np.ndarray):
         nonlocal frame_base
-        dets_per_frame = detector(frames)
+        with stage("detect"):
+            dets_per_frame = detector(frames)
         for i, dets in enumerate(dets_per_frame):
-            rows = sort.update(dets)
+            with stage("sort"):
+                rows = sort.update(dets)
             fidx = frame_base + i
             for row in rows:
                 pid = int(row[4])
@@ -131,21 +144,29 @@ def run_video_onepass(
                 bb = xyxy_to_cxcywh_square(row[:4], 1.0)
                 st.frames.append(fidx)
                 st.bboxes.append(bb)
-                crop = runner._host_crop(frames[i : i + 1],
-                                         bb[None], runner.bbox_scale)[0]
+                with stage("crop"):
+                    crop = runner._host_crop(frames[i : i + 1],
+                                             bb[None], runner.bbox_scale)[0]
                 st.crop_buf.append(crop)
         # flush once per decoded chunk: feed() buffers until a full bucket,
         # so per-frame flushes would only add numpy-stack overhead
-        for pid in list(states):
-            open_or_feed(pid, states[pid])
+        with stage("feed"):
+            for pid in list(states):
+                open_or_feed(pid, states[pid])
         frame_base += len(frames)
 
-    for frames in reader:
+    frames_iter = iter(reader)
+    while True:
+        with stage("decode"):
+            frames = next(frames_iter, None)
+        if frames is None:
+            break
         if not fitted and hasattr(detector, "fit"):
             # calibrate the background model on the first fit_frames
             fit_buf.append(np.array(frames))  # ring views: must copy
             if sum(len(c) for c in fit_buf) >= fit_frames:
-                detector.fit(np.concatenate(fit_buf, axis=0))
+                with stage("detect"):
+                    detector.fit(np.concatenate(fit_buf, axis=0))
                 fitted = True
                 process(np.concatenate(fit_buf, axis=0))
                 fit_buf = []
@@ -153,7 +174,8 @@ def run_video_onepass(
         process(frames)
     if fit_buf:
         # clip shorter than fit_frames: calibrate on what there is
-        detector.fit(np.concatenate(fit_buf, axis=0))
+        with stage("detect"):
+            detector.fit(np.concatenate(fit_buf, axis=0))
         process(np.concatenate(fit_buf, axis=0))
 
     results = {}
@@ -161,7 +183,8 @@ def run_video_onepass(
         if st.session is None:
             continue  # never qualified: dropped like demo.py:100-103
         open_or_feed(pid, st)
-        out = st.session.finish()
+        with stage("finish"):
+            out = st.session.finish()
         result = {}
         if "theta" in out:
             result["pred_cam"] = out["theta"][:, :3]

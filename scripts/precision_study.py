@@ -143,6 +143,16 @@ def parse_mode(mode: str):
     s2d = mode.endswith("+s2d")
     if s2d:
         mode = mode[: -len("+s2d")]
+    heads_2p = None
+    for suffix in ("+heads_w2x", "+heads_a2x"):
+        if mode.endswith(suffix):
+            # HR upsample-head convs at an explicit 2-pass decomposition
+            # (layers.conv_w2x / conv_a2x) — the MFU-trace-nominated
+            # probe: those convs are compute-bound at 92% MXU under HIGH,
+            # so pass count is their only lever; w2x rounds the
+            # activation once, a2x rounds the kernel once.
+            heads_2p = suffix[-3:]
+            mode = mode[: -len(suffix)]
     if mode in ("default", "high", "float32"):
         bb_p = hd_p = sm_p = mode
     elif mode == "bf16trunk":
@@ -175,8 +185,19 @@ def parse_mode(mode: str):
     elif mode.startswith("B:"):
         bb_p, hd_p, sm_p = "default", "high", "float32"
         regions = tuple((r, "high") for r in mode[2:].split("+") if r)
+    elif mode.startswith("W:"):
+        # production-candidate mixes: backbone "high" with the listed
+        # regions at the 2-pass w2x decomposition (2/3 of high's MACs,
+        # activation rounded once, kernel near-exact), PARE head at
+        # single-pass bf16, SMPL high — extends the qualified mode after
+        # the heads_w2x probe measured kernel rounding (not activation
+        # rounding) as the dominant bf16 error source.
+        bb_p, hd_p, sm_p = "high", "default", "high"
+        regions = tuple((r, "w2x") for r in mode[2:].split("+") if r)
     else:
         raise ValueError(mode)
+    if heads_2p:
+        regions += (("heads", heads_2p),)
     return bb_p, hd_p, sm_p, regions, trunk16, f32_stem, s2d
 
 

@@ -9,10 +9,13 @@ This measures that claim honestly on the real chip:
      batch-128 bucket to bytes, deserialize it back (the serving-host
      path: serialize -> deserialize forces the full artifact round trip);
   2. time the LIVE jitted forward and the DESERIALIZED program with the
-     same device-side dependency chain bench.py uses (block_until_ready
-     lies through the axon tunnel — a scalar from iteration i feeds
-     iteration i+1, one host sync at the end);
-  3. print both ms/iter and the ratio.
+     device-side dependency chain COMPILED INTO the program (ADVICE r3:
+     the earlier version ran the chain arithmetic — images+bias, theta
+     scalar extraction — as eager ops through the axon tunnel, where each
+     eager op costs a full dispatch round trip, so it reported ~37x the
+     true device step time);
+  3. report ms_device (chain), ms_fetch + output MB (one full D2H
+     materialization), the H2D link probe, and the pinned/live ratio.
 
 Weights are passed as ARGUMENTS in both paths (the jit-constant trap
 embeds them as XLA constants and runs 2.3x slower at batch 128 —
@@ -29,27 +32,41 @@ import os.path as osp
 import sys
 import time
 
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+
 import jax
 import jax.numpy as jnp
 import numpy as np
-
-sys.path.insert(0, osp.join(osp.dirname(__file__), ".."))
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def chain_time(fwd, variables, smpl, images, iters):
-    """Device-dependency-chain wall time for `iters` calls."""
-    bias = jnp.zeros((), images.dtype)
+def h2d_link_probe(dev) -> float:
+    """Measured H2D MB/s, forced materialization (bench_e2e.link_probe
+    technique: a bare device_put returns before the bytes move)."""
+    fn = jax.jit(lambda x: x.astype(jnp.float32).sum())
+    buf = np.random.default_rng(0).integers(
+        0, 255, size=(12, 1024, 1024), dtype=np.uint8)
+    float(fn(jax.device_put(buf[:1], dev)))  # compile
     t0 = time.perf_counter()
-    for _ in range(iters):
+    float(fn(jax.device_put(buf, dev)))
+    return round(12.0 / (time.perf_counter() - t0), 1)
+
+
+def make_chained(fwd):
+    """One COMPILED step carrying the dependency chain: iteration i's
+    scalar output feeds i+1's input inside the jitted program, so a timed
+    loop costs one dispatch per iteration and wall time covers real
+    device execution (exported calls are jit-composable)."""
+
+    @jax.jit
+    def step(variables, smpl, images, bias):
         out = fwd(variables, smpl, images + bias)
-        # any scalar output feeds the next iteration's input
-        bias = (out["theta"][0, 0] * 1e-9).astype(images.dtype)
-    float(bias)  # one host sync
-    return time.perf_counter() - t0
+        return (out["theta"][0, 0] * 1e-9).astype(images.dtype)
+
+    return step
 
 
 def main():
@@ -65,6 +82,10 @@ def main():
 
     model = GRNet.create()
     runner = GRNetRunner(model, buckets=(batch,))
+    precision_mode = (f"backbone {runner.precision} + head "
+                      f"{runner.resolved_head_precision() or 'inherit'}"
+                      + (f" + trunk {runner.trunk_dtype}"
+                         if runner.trunk_dtype else ""))
 
     # raw_uint8=False: feed f32 crops so the +bias dependency chain works
     live = runner._forward(batch, raw_uint8=False)
@@ -85,33 +106,64 @@ def main():
     images = jax.device_put(
         rng.normal(size=(batch, 224, 224, 3)).astype(np.float32), dev)
 
+    link_mbps = h2d_link_probe(dev)
+    log(f"H2D link probe: {link_mbps} MB/s")
+
     results = {}
     for name, fwd in (("live_jit", live), ("pinned_artifact", pinned)):
-        t0 = time.perf_counter()
-        chain_time(fwd, variables, smpl, images, 1)
-        log(f"{name}: compile+first-run {time.perf_counter() - t0:.1f}s")
-        chain_time(fwd, variables, smpl, images, 2)  # warm
-        dt = chain_time(fwd, variables, smpl, images, iters)
-        ms = dt / iters * 1e3
-        results[name] = {"ms_per_iter": round(ms, 2),
-                         "fps": round(batch * iters / dt, 1)}
-        log(f"{name}: {ms:.1f} ms/iter")
+        step = make_chained(fwd)
 
-    ratio = (results["pinned_artifact"]["ms_per_iter"]
-             / results["live_jit"]["ms_per_iter"])
+        def chain(n):
+            bias = jnp.zeros((), images.dtype)
+            t0 = time.perf_counter()
+            for _ in range(n):
+                bias = step(variables, smpl, images, bias)
+            float(bias)  # one host sync
+            return time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        chain(1)
+        log(f"{name}: compile+first-run {time.perf_counter() - t0:.1f}s")
+        chain(2)  # warm
+        dt = chain(iters)
+        ms = dt / iters * 1e3
+
+        # one full-output D2H materialization (what a serving host fetches)
+        out = fwd(variables, smpl, images)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        host = jax.tree_util.tree_map(np.asarray, out)
+        fetch_ms = (time.perf_counter() - t0) * 1e3
+        out_mb = sum(v.nbytes for v in jax.tree_util.tree_leaves(host)) / 1e6
+
+        results[name] = {"ms_device": round(ms, 2),
+                         "fps_device": round(batch * iters / dt, 1),
+                         "ms_fetch_all_outputs": round(fetch_ms, 1),
+                         "output_mb": round(out_mb, 2)}
+        log(f"{name}: {ms:.1f} ms/iter device, fetch {fetch_ms:.0f} ms "
+            f"({out_mb:.1f} MB)")
+
+    ratio = (results["pinned_artifact"]["ms_device"]
+             / results["live_jit"]["ms_device"])
     out = {
         "batch": batch,
         "iters": iters,
         "device": str(dev.device_kind),
-        "precision_mode": "backbone high + head bf16 (qualified default)",
+        "precision_mode": precision_mode,
         "artifact_mb": round(len(blob) / 1e6, 1),
+        "h2d_link_MBps": link_mbps,
+        "note": ("ms_device is compiled-chain device step time; "
+                 "ms_fetch_all_outputs is the one-time D2H cost through "
+                 "the tunnel link above — a serving host fetches only the "
+                 "outputs it needs (runner fetch=...)"),
         **results,
         "pinned_over_live_ratio": round(ratio, 3),
     }
-    path = osp.join(osp.dirname(__file__), "..", "docs",
-                    "SERVE_BENCH.json")
+    path = osp.join(osp.dirname(osp.dirname(osp.abspath(__file__))),
+                    "docs", "SERVE_BENCH.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
+        f.write("\n")
     print(json.dumps(out))
 
 

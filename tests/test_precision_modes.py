@@ -129,3 +129,51 @@ def test_inherit_clears_module_override():
     forced = GRNetRunner(model, buckets=(4,), crop_size=32,
                          precision="float32", head_precision="highest")
     assert forced._resolved_module().head_precision == "highest"
+
+
+def test_conv_w2x_matches_conv_and_param_paths(rng):
+    """conv_w2x (2-pass kernel decomposition, layers.py) is numerically
+    the plain convolution on CPU (DEFAULT precision executes f32 there,
+    and k_hi + k_lo == k exactly for these magnitudes), and switching the
+    'heads' region to w2x must not change the backbone's variable tree —
+    torch weight import stays mechanical."""
+    import jax
+    import jax.numpy as jnp
+
+    from gaitlab.nn import hrnet as hrnet_mod
+    from gaitlab.nn.layers import conv_w2x
+
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 6)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(3, 3, 6, 4)).astype(np.float32))
+    ref = jax.lax.conv_general_dilated(
+        x, k, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=jax.lax.Precision.HIGHEST)
+    got = conv_w2x(x, k)
+    # k_hi + k_lo carries ~16-17 mantissa bits (k_lo is itself bf16), so
+    # the kernel-side relative error is ~2^-17 — far below bf16's 2^-9
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=3e-4, atol=1e-4)
+
+    cfg_std = hrnet_mod.HRNetCfg.w(8, modules=(1, 1, 1), blocks=1)
+    cfg_w2x = hrnet_mod.HRNetCfg.w(8, modules=(1, 1, 1), blocks=1,
+                                   region_precision=(("heads", "w2x"),
+                                                     ("stage4", "w2x"),
+                                                     ("layer1", "w2x")))
+    img = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    m_std = hrnet_mod.PoseHighResolutionNet(cfg_std)
+    m_w2x = hrnet_mod.PoseHighResolutionNet(cfg_w2x)
+    v_std = m_std.init(jax.random.PRNGKey(0), img)
+    v_w2x = m_w2x.init(jax.random.PRNGKey(0), img)
+    paths_std = {jax.tree_util.keystr(p)
+                 for p, _ in jax.tree_util.tree_leaves_with_path(v_std)}
+    paths_w2x = {jax.tree_util.keystr(p)
+                 for p, _ in jax.tree_util.tree_leaves_with_path(v_w2x)}
+    assert paths_std == paths_w2x
+
+    # identical params -> near-identical output on CPU (w2x active in
+    # blocks, transitions, fuse layers, and the upsample head)
+    out_std = m_std.apply(v_std, img + 0.5)
+    out_w2x = m_w2x.apply(v_std, img + 0.5)
+    np.testing.assert_allclose(np.asarray(out_w2x), np.asarray(out_std),
+                               rtol=1e-3, atol=1e-4)
