@@ -9,14 +9,13 @@ reference records no value in-repo; the driver BASELINE target is
 The benched configuration is the ACCURACY-QUALIFIED production mode
 (GRNetRunner default): f32 params, backbone at matmul precision "high"
 (bf16_3x on TPU) with the PARE head at single-pass bf16
-(GRNetCore.head_precision="default") — the round-3 per-region study
-showed the bf16 error lives in the deep conv stack, not the head
-(docs/PRECISION.json: this mode measures 0.35 mm MPJPE / 1.6 mm PVE vs
-the f32 PyTorch reference in the worst-case random-weight regime, well
-inside the 0.5 mm budget, at 1.17x round-2's all-"high" throughput).
-Faster unqualified modes exist (bf16 trunk: ~3300 fps at ~18 mm
-worst-case) and are documented in BASELINE.md, not benched as the
-headline.
+(GRNetCore.head_precision="default") and the HR upsample-head convs at
+the 2-pass w2x kernel decomposition (round 4, docs/PRECISION.json
+W:heads: 0.3656 mm MPJPE / 1.64 mm PVE vs the f32 PyTorch reference in
+the worst-case random-weight regime, inside the 0.5 mm budget, ~9%
+faster than round-3's all-high backbone). Faster unqualified modes exist
+(bf16 trunk: ~3300 fps at ~18 mm worst-case) and are documented in
+BASELINE.md, not benched as the headline.
 
 Measurement note: through the axon TPU tunnel, `block_until_ready` returns
 before device execution completes, so naive timing reports dispatch rate,
@@ -59,7 +58,9 @@ def main():
     dev = jax.devices()[0]
     log(f"device: {dev.platform} {dev.device_kind}")
 
-    module = GRNetCore(head_precision="default")  # the qualified mixed mode
+    # the qualified mixed mode (= GRNetRunner's resolved production default)
+    module = GRNetCore(head_precision="default",
+                       backbone_region_precision=(("heads", "w2x"),))
     rng = jax.random.PRNGKey(0)
     images = jax.random.normal(rng, (BATCH, 224, 224, 3), jnp.float32)
     variables = module.init(rng, images[:1])
@@ -97,8 +98,9 @@ def main():
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / BASELINE_FPS, 3),
-        "precision_mode": "backbone high + head bf16 (accuracy-qualified: "
-                          "0.35mm MPJPE worst-case, docs/PRECISION.json)",
+        "precision_mode": "backbone high + HR-head w2x + PARE head bf16 "
+                          "(accuracy-qualified: 0.37mm MPJPE worst-case, "
+                          "docs/PRECISION.json W:heads)",
     }))
 
 

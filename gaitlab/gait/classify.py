@@ -30,6 +30,15 @@ Array = jax.Array
 
 
 class DementiaScorer(nn.Module):
+    """Small MLP mapping gait features to a dementia class + severity.
+
+    VALIDATION STATUS — read before clinical use: this environment has NO
+    clinical data, so the scorer is exercised ONLY on separable synthetic
+    feature distributions (tests/test_gait_features.py); nothing here has
+    been validated against patient outcomes. It is deployment plumbing
+    awaiting real training data, exactly as BASELINE.md frames the
+    random-weight accuracy oracle."""
+
     num_classes: int = 3
     hidden: int = 32
 

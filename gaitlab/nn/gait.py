@@ -219,7 +219,17 @@ class FeatCorrector(nn.Module):
 
     __call__(x (B,T,J,C) pose features, cparams (B,T,3)) ->
     (corrected (B,T,J,C), pred_avg (B,3), pred_phase (B,T,4)).
-    """
+
+    Operating envelope (docs/GAIT_ROBUSTNESS.json, scripts/
+    gait_robustness.py): under the corruption the clinical pipeline
+    actually produces, a trained corrector degrades gracefully — phase
+    error 0.057 clean -> 0.25 at 40% occlusion-dropout (frozen frames),
+    is insensitive to bbox-jitter-style per-frame gain/offset noise, and
+    holds to 0.12 on tracks truncated to 12 frames via `seq_lengths`; all
+    cells stay far below the untrained baseline (~0.95). Validation is on
+    SYNTHETIC gait-labeled sequences + rendered walker clips
+    (tests/test_gait_training.py) — no clinical data exists in this
+    environment, same caveat as gaitlab/gait/classify.py."""
 
     num_joints: int = 24
     feat_dim: int = 128

@@ -102,17 +102,36 @@ class GRNetRunner:
             head_prec = "default" if self.precision == "high" else None
         return head_prec
 
+    def resolved_region_precision(self) -> tuple:
+        """Backbone per-region precision the jitted forward compiles in.
+
+        Under the qualified "high" mode the HR upsample-head convs run the
+        2-pass w2x decomposition (docs/PRECISION.json W:heads — 0.3656 mm
+        worst-case, 1616 fps vs 1481 at all-high; the round-4 production
+        default). Any module-level region_precision override wins; any
+        other global precision (esp. float32 parity) gets no regions."""
+        mod_regions = tuple(self.model.module.backbone_region_precision)
+        if mod_regions:
+            return mod_regions
+        if self.precision == "high":
+            return (("heads", "w2x"),)
+        return ()
+
     def _resolved_module(self):
         """The module the jitted forward actually compiles: the model's
-        module with head_precision forced to resolved_head_precision().
-        Clones even when that is None — "inherit" must actively CLEAR a
-        module-level override, or a module built with
+        module with head_precision forced to resolved_head_precision()
+        and the backbone regions to resolved_region_precision().
+        Clones even when the target is None/() — "inherit" must actively
+        CLEAR a module-level override, or a module built with
         head_precision="default" would keep its head at bf16 inside a
         precision="float32" parity run."""
         module = self.model.module
         head_prec = self.resolved_head_precision()
-        if module.head_precision != head_prec:
-            module = module.clone(head_precision=head_prec)
+        regions = self.resolved_region_precision()
+        if (module.head_precision != head_prec
+                or tuple(module.backbone_region_precision) != regions):
+            module = module.clone(head_precision=head_prec,
+                                  backbone_region_precision=regions)
         return module
 
     # -- model forward at a fixed bucket size --------------------------------

@@ -82,8 +82,10 @@ def main():
 
     model = GRNet.create()
     runner = GRNetRunner(model, buckets=(batch,))
+    regions = runner.resolved_region_precision()
     precision_mode = (f"backbone {runner.precision} + head "
                       f"{runner.resolved_head_precision() or 'inherit'}"
+                      + "".join(f" + {r} {p}" for r, p in regions)
                       + (f" + trunk {runner.trunk_dtype}"
                          if runner.trunk_dtype else ""))
 

@@ -236,3 +236,28 @@ def test_trunk_batch_pins_weights_once():
     finally:
         jax.device_put = real
     assert len(calls) == 2
+
+
+def test_robustness_artifact():
+    """docs/GAIT_ROBUSTNESS.json (scripts/gait_robustness.py) pins the
+    corrector's operating envelope under clinical-pipeline corruption
+    (VERDICT r3 #5): every measured cell must show the trained corrector
+    beating the untrained baseline, and dropout degradation must be
+    graceful (monotone-ish, bounded)."""
+    import json
+    import os.path as osp
+
+    path = osp.join(osp.dirname(__file__), "..", "docs",
+                    "GAIT_ROBUSTNESS.json")
+    with open(path) as f:
+        study = json.load(f)
+    rows = study["results"]
+    kinds = {r["corruption"] for r in rows}
+    assert kinds == {"dropout", "bbox_jitter", "truncate"}
+    for r in rows:
+        assert r["trained_beats_untrained"], r
+        assert r["phase_err_trained"] < 0.5 * r["phase_err_untrained"], r
+    drop = {r["level"]: r["phase_err_trained"] for r in rows
+            if r["corruption"] == "dropout"}
+    assert drop[0.4] < 0.5, "40% dropout should still be usable"
+    assert drop[0.0] < drop[0.4], "corruption-free must be the best case"

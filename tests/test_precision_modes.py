@@ -37,11 +37,17 @@ def test_runner_default_mode_is_qualified():
     default_mode = fields["precision"].default
     head_default = fields["head_precision"].default
     # the deployed default = global precision + head_precision="auto"
-    # (head at single-pass bf16 under "high"); the study row for that
-    # exact combination is "bb_high+head_default+smpl_high"
+    # (head at single-pass bf16 under "high") + the HR upsample head at
+    # the 2-pass w2x decomposition (round 4); the study row for that
+    # exact combination is "bb_high+head_default+smpl_high+heads_w2x"
     study_mode = default_mode
     if default_mode == "high" and head_default == "auto":
-        study_mode = "bb_high+head_default+smpl_high"
+        from gaitlab.nn.grnet import GRNet
+        from gaitlab.pipeline.runner import GRNetRunner as R
+
+        runner = R(GRNet.create(init_img=32), buckets=(4,), crop_size=32)
+        assert runner.resolved_region_precision() == (("heads", "w2x"),)
+        study_mode = "bb_high+head_default+smpl_high+heads_w2x"
     modes = {r["mode"]: r for r in _study()["results"]}
     assert study_mode in modes, study_mode
     r = modes[study_mode]
