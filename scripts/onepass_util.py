@@ -46,9 +46,10 @@ def main():
         bench_e2e.log(f"building {n_frames}-frame synthetic clip...")
         bench_e2e.make_clip(clip, n_frames)
 
-    model = GRNet.create(use_gait_feat=True, featcorr_h_size=256)
-    runner = GRNetRunner(model, fetch=("theta", "kp_3d", "kp_2d",
-                                       "pred_phase", "pred_avg"))
+    # EXACTLY bench_e2e's "joints" runner, so the wall is comparable to
+    # BENCH_E2E.json's onepass_joints median (modulo tunnel drift)
+    model = GRNet.create()
+    runner = GRNetRunner(model, fetch=("theta", "kp_3d", "kp_2d"))
 
     probes: list = []
     bench_e2e.link_probe(jax, probes, "before")
@@ -88,8 +89,18 @@ def main():
                  "other on this 1-core host — only device compute hides "
                  "behind them. 'feed'/'finish' include the dispatch "
                  "thread handoff and the device+D2H drain respectively; "
-                 "the H2D crop stream itself is serialized by the tunnel "
-                 "writer thread and competes for the same core."),
+                 "the H2D crop stream is serialized by the tunnel writer "
+                 "thread on the SAME core, so its cost surfaces inside "
+                 "whichever inline bracket runs concurrently (detect "
+                 "inflates from its ~2 ms/frame standalone rate by "
+                 "roughly crop_h2d_at_link_s). Interpretation: busy "
+                 "fraction 0.88-0.96 across runs = the host is "
+                 "saturated; wall tracks the drifting tunnel "
+                 "(BENCH_E2E.json r3 onepass_joints median was 34.8 s at "
+                 "a ~31-40 MB/s link day). The correct 1-core roofline "
+                 "SUMS cpu-stage + link costs (see BASELINE.md); the old "
+                 "127-fps figure took the stage MIN, a parallel-host "
+                 "model."),
     }
     path = osp.join(osp.dirname(osp.dirname(osp.abspath(__file__))),
                     "docs", "ONEPASS_UTILIZATION.json")
