@@ -65,6 +65,9 @@ class GRNetCore(nn.Module):
     # transition/fuse path and parameter shape family.
     backbone_modules: tuple = (1, 4, 3)
     backbone_blocks: int = 4
+    # Bilinear-resize einsum precision in the HR upsample heads
+    # (HRNetCfg.resize_precision; "highest" = bit-faithful default).
+    backbone_resize_precision: str = "highest"
     # Matmul precision for the PARE head, overriding the caller's global
     # context ("default" | "high" | "float32"; None = inherit). The
     # qualified production mode runs the backbone at "high" and the head
@@ -96,7 +99,8 @@ class GRNetCore(nn.Module):
                        cast_after=self.backbone_cast_after,
                        stem_s2d=self.stem_s2d,
                        modules=self.backbone_modules,
-                       blocks=self.backbone_blocks),
+                       blocks=self.backbone_blocks,
+                       resize_precision=self.backbone_resize_precision),
             name="backbone",
         )
         self.head = PareHead(

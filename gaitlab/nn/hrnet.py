@@ -82,6 +82,11 @@ class HRNetCfg:
     # only experiment for the 3-channel lane-starved stem (scripts/
     # stem_s2d_bench.py) — see docs/PERFORMANCE.md for the measurement.
     stem_s2d: bool = False
+    # Matmul precision of the bilinear-resize einsums in the upsample
+    # heads ("highest" = bit-faithful default; the MFU trace shows them
+    # HBM-bound, so this is a measured knob — docs/PRECISION.json
+    # `+resize_high`).
+    resize_precision: str = "highest"
 
     @staticmethod
     def w(width: int = 32, downsample: bool = False, use_conv: bool = True,
@@ -90,7 +95,8 @@ class HRNetCfg:
           cast_after: tuple = (),
           stem_s2d: bool = False,
           modules: tuple = (1, 4, 3),
-          blocks: int = 4) -> "HRNetCfg":
+          blocks: int = 4,
+          resize_precision: str = "highest") -> "HRNetCfg":
         """`modules`/`blocks` shrink stage depth for dryrun/test models:
         the deployed topology (reference hrnet.py STAGE2/3/4 cfg) is
         modules=(1,4,3), blocks=4; e.g. modules=(1,1,1), blocks=1 keeps
@@ -105,6 +111,7 @@ class HRNetCfg:
             region_precision=tuple(region_precision),
             cast_after=tuple(cast_after),
             stem_s2d=stem_s2d,
+            resize_precision=resize_precision,
             stage2=StageCfg(modules[0], 2, (blocks,) * 2,
                             (width, width * 2), "BASIC"),
             stage3=StageCfg(modules[1], 3, (blocks,) * 3,
@@ -412,6 +419,10 @@ class PoseHighResolutionNet(nn.Module):
 
         # heads (deployed: downsample=False, use_conv=True -> upsample_stage_k,
         # hrnet.py:341-344, 519-524)
+        resize_prec = dict(default=jax.lax.Precision.DEFAULT,
+                           high=jax.lax.Precision.HIGH,
+                           highest=jax.lax.Precision.HIGHEST,
+                           )[cfg.resize_precision]
         if not cfg.downsample and cfg.use_conv:
             h, w = xs[0].shape[1], xs[0].shape[2]
 
@@ -420,7 +431,8 @@ class PoseHighResolutionNet(nn.Module):
                 # torch Sequential per rep: [Upsample, Conv, BN, ReLU]
                 for r in range(reps):
                     z = upsample_bilinear_align_corners(
-                        z, z.shape[1] * 2, z.shape[2] * 2
+                        z, z.shape[1] * 2, z.shape[2] * 2,
+                        precision=resize_prec,
                     )
                     z = conv(ch, 3, 1, name=f"{name}_{4 * r + 1}")(z)
                     z = batch_norm(train, name=f"{name}_{4 * r + 2}")(z)
@@ -449,10 +461,14 @@ class PoseHighResolutionNet(nn.Module):
             # interpolation-only heads (hrnet.py:512-517, 526-531)
             if cfg.downsample:
                 h, w = xs[3].shape[1], xs[3].shape[2]
-                ys = [upsample_bilinear_align_corners(z, h, w) for z in xs[:3]]
+                ys = [upsample_bilinear_align_corners(z, h, w,
+                                          precision=resize_prec)
+                  for z in xs[:3]]
                 return jnp.concatenate(ys + [xs[3]], axis=-1)
             h, w = xs[0].shape[1], xs[0].shape[2]
-            ys = [upsample_bilinear_align_corners(z, h, w) for z in xs[1:]]
+            ys = [upsample_bilinear_align_corners(z, h, w,
+                                              precision=resize_prec)
+              for z in xs[1:]]
             return jnp.concatenate([xs[0]] + ys, axis=-1)
 
 

@@ -120,13 +120,20 @@ def _align_corners_matrix(n_in: int, n_out: int, dtype) -> Array:
     return w.astype(dtype)
 
 
-def upsample_bilinear_align_corners(x: Array, out_h: int, out_w: int) -> Array:
-    """NHWC bilinear resize matching torch align_corners=True."""
+def upsample_bilinear_align_corners(x: Array, out_h: int, out_w: int,
+                                    precision=jax.lax.Precision.HIGHEST
+                                    ) -> Array:
+    """NHWC bilinear resize matching torch align_corners=True.
+
+    `precision` applies to the two resize matmuls: HIGHEST (default) is
+    bit-faithful; the MFU trace shows these ops HBM-bound (~600 GB/s at
+    18% MXU, docs/MFU_TRACE.json), so cheaper precisions are a measured
+    knob (docs/PRECISION.json `+resize_high` probe), not a FLOP saving."""
     n, h, w, c = x.shape
     Wh = _align_corners_matrix(h, out_h, x.dtype)
     Ww = _align_corners_matrix(w, out_w, x.dtype)
-    x = jnp.einsum("oh,nhwc->nowc", Wh, x, precision=jax.lax.Precision.HIGHEST)
-    x = jnp.einsum("ow,nhwc->nhoc", Ww, x, precision=jax.lax.Precision.HIGHEST)
+    x = jnp.einsum("oh,nhwc->nowc", Wh, x, precision=precision)
+    x = jnp.einsum("ow,nhwc->nhoc", Ww, x, precision=precision)
     return x
 
 

@@ -130,7 +130,9 @@ class YoloDetector:
         # re-uploading the weights (33-237 MB) through the tunneled H2D
         # link per 12-frame batch would dominate the traffic the uint8
         # letterbox feed is meant to reduce
-        self.variables = jax.device_put(variables)
+        # explicit target: device_put with none is a NO-OP for jax Arrays
+        # (the runner._device_tree trap, runner.py:212)
+        self.variables = jax.device_put(variables, jax.devices()[0])
         # uint8 frames cross the (slow, tunneled) H2D link; the /255
         # normalization fuses into the first conv in-graph — 4x less
         # upload than shipping f32 letterboxed frames

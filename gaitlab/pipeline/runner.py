@@ -207,12 +207,21 @@ class GRNetRunner:
         numpy; passing them to jit per call re-uploads ~250 MB of weights
         through the (slow, tunneled) H2D link on EVERY dispatch — measured
         ~4 s/dispatch vs ~0.1 s compute at bucket 256. One device_put here
-        makes every later dispatch reuse the resident copy."""
+        makes every later dispatch reuse the resident copy.
+
+        The target device must be EXPLICIT: `jax.device_put(x)` with no
+        target is a no-op for arrays that are already jax Arrays, and
+        GRNet.create initialises on the CPU backend — so the fresh-init
+        path (first run of a config, cold weight cache) would leave the
+        "pinned" weights CPU-resident and silently re-upload the full
+        tree on every dispatch (measured 3.4 s vs 79 ms per batch-128
+        step; this was round 3's mis-diagnosed 'serve dispatch overhead',
+        docs/SERVE_BENCH.json)."""
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             return jax.device_put(tree, NamedSharding(self.mesh, P()))
-        return jax.device_put(tree)
+        return jax.device_put(tree, jax.devices()[0])
 
     def _smpl_params(self):
         """SMPL parameter pytree, device-resident (cached)."""

@@ -343,7 +343,10 @@ def _pinned_variables(model):
     host = model.variables
     if _PIN_CACHE and _PIN_CACHE[0] is host:
         return _PIN_CACHE[1]
-    dev = jax.device_put(host)
+    # explicit target: GRNet.create initialises on the CPU backend, and
+    # device_put with no target is a NO-OP for jax Arrays — the pin would
+    # silently keep the tree host-resident (runner.py:212 trap)
+    dev = jax.device_put(host, jax.devices()[0])
     _PIN_CACHE[:] = [host, dev]
     return dev
 

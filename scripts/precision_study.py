@@ -143,6 +143,12 @@ def parse_mode(mode: str):
     s2d = mode.endswith("+s2d")
     if s2d:
         mode = mode[: -len("+s2d")]
+    resize_high = mode.endswith("+resize_high")
+    if resize_high:
+        # bilinear-resize einsums at 3-pass "high" instead of 6-pass
+        # HIGHEST: the MFU trace shows them HBM-bound (~600 GB/s at 18%
+        # MXU), so this probes whether fewer passes cut their traffic.
+        mode = mode[: -len("+resize_high")]
     heads_2p = None
     for suffix in ("+heads_w2x", "+heads_a2x"):
         if mode.endswith(suffix):
@@ -198,7 +204,7 @@ def parse_mode(mode: str):
         raise ValueError(mode)
     if heads_2p:
         regions += (("heads", heads_2p),)
-    return bb_p, hd_p, sm_p, regions, trunk16, f32_stem, s2d
+    return bb_p, hd_p, sm_p, regions, trunk16, f32_stem, s2d, resize_high
 
 
 def make_forward(model, mode: str):
@@ -208,17 +214,19 @@ def make_forward(model, mode: str):
 
     from gaitlab.nn.grnet import vp_regress
 
-    bb_p, hd_p, sm_p, regions, trunk16, f32_stem, s2d = parse_mode(mode)
+    (bb_p, hd_p, sm_p, regions, trunk16, f32_stem, s2d,
+     resize_high) = parse_mode(mode)
     smpl = model.smpl
     module = model.module
-    if regions or f32_stem or s2d:
+    if regions or f32_stem or s2d or resize_high:
         # clone the study model's module so any non-default configuration
         # it carries is preserved — param structure/names are unchanged,
         # so the imported variables apply as-is
         module = module.clone(
             backbone_region_precision=regions,
             backbone_cast_after=(("stem", "bfloat16"),) if f32_stem else (),
-            stem_s2d=s2d)
+            stem_s2d=s2d,
+            backbone_resize_precision="high" if resize_high else "highest")
 
     def prec(p):
         return (jax.default_matmul_precision(p) if p != "default"

@@ -51,3 +51,25 @@ def test_device_put_called_once(monkeypatch):
     runner._smpl_params()
     runner._smpl_params()
     assert calls["n"] == 2  # one for variables, one for SMPL
+
+
+def test_trunk_variables_are_committed_to_device():
+    """The weight pin must COMMIT the tree to an explicit device:
+    jax.device_put with no target is a no-op for existing jax Arrays, so
+    the fresh-init path (CPU-backed variables, cold weight cache) used to
+    leave 'pinned' weights host-resident and re-upload ~250 MB on every
+    dispatch (3.4 s vs 79 ms per batch-128 step on the chip — round 4
+    serve-bench root cause)."""
+    import jax
+
+    from gaitlab.nn.grnet import GRNet
+    from gaitlab.pipeline.runner import GRNetRunner
+
+    model = GRNet.create(init_img=32, cache_init=False)  # fresh-init path
+    runner = GRNetRunner(model, buckets=(4,), crop_size=32)
+    target = jax.devices()[0]
+    for leaf in jax.tree_util.tree_leaves(runner._trunk_variables()):
+        assert leaf.committed, "weight pin must commit, not no-op"
+        assert leaf.devices() == {target}
+    for leaf in jax.tree_util.tree_leaves(runner._smpl_params()):
+        assert leaf.committed and leaf.devices() == {target}
