@@ -60,7 +60,8 @@ def main():
 
     # the qualified mixed mode (= GRNetRunner's resolved production default)
     module = GRNetCore(head_precision="default",
-                       backbone_region_precision=(("heads", "w2x"),))
+                       backbone_region_precision=(("heads", "w2x"),),
+                       backbone_resize_precision="high")
     rng = jax.random.PRNGKey(0)
     images = jax.random.normal(rng, (BATCH, 224, 224, 3), jnp.float32)
     variables = module.init(rng, images[:1])
@@ -98,9 +99,10 @@ def main():
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / BASELINE_FPS, 3),
-        "precision_mode": "backbone high + HR-head w2x + PARE head bf16 "
-                          "(accuracy-qualified: 0.37mm MPJPE worst-case, "
-                          "docs/PRECISION.json W:heads)",
+        "precision_mode": "backbone high + HR-head w2x + resize high + "
+                          "PARE head bf16 (accuracy-qualified: 0.37mm "
+                          "MPJPE worst-case, docs/PRECISION.json "
+                          "heads_w2x+resize_high)",
     }))
 
 

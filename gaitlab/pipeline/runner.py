@@ -107,9 +107,10 @@ class GRNetRunner:
 
         Under the qualified "high" mode the HR upsample-head convs run the
         2-pass w2x decomposition (docs/PRECISION.json W:heads — 0.3656 mm
-        worst-case, 1616 fps vs 1481 at all-high; the round-4 production
-        default). Any module-level region_precision override wins; any
-        other global precision (esp. float32 parity) gets no regions."""
+        worst-case vs 0.349 at all-high, for 1616 vs 1481 fps; the
+        round-4 production default). Any module-level region_precision
+        override wins; any other global precision (esp. float32 parity)
+        gets no regions."""
         mod_regions = tuple(self.model.module.backbone_region_precision)
         if mod_regions:
             return mod_regions
@@ -117,10 +118,22 @@ class GRNetRunner:
             return (("heads", "w2x"),)
         return ()
 
+    def resolved_resize_precision(self) -> str:
+        """Bilinear-resize einsum precision the forward compiles in: the
+        qualified "high" mode drops the HBM-bound resizes from 6-pass
+        HIGHEST to 3-pass "high" (docs/PRECISION.json `+resize_high`:
+        0.3675 mm, 1640 fps — +0.002 mm for +1.6%); float32 parity keeps
+        the bit-faithful HIGHEST. A non-default module setting wins."""
+        mod = self.model.module.backbone_resize_precision
+        if mod != "highest":
+            return mod
+        return "high" if self.precision == "high" else "highest"
+
     def _resolved_module(self):
         """The module the jitted forward actually compiles: the model's
-        module with head_precision forced to resolved_head_precision()
-        and the backbone regions to resolved_region_precision().
+        module with head_precision forced to resolved_head_precision(),
+        the backbone regions to resolved_region_precision(), and the
+        resize precision to resolved_resize_precision().
         Clones even when the target is None/() — "inherit" must actively
         CLEAR a module-level override, or a module built with
         head_precision="default" would keep its head at bf16 inside a
@@ -128,10 +141,13 @@ class GRNetRunner:
         module = self.model.module
         head_prec = self.resolved_head_precision()
         regions = self.resolved_region_precision()
+        resize = self.resolved_resize_precision()
         if (module.head_precision != head_prec
-                or tuple(module.backbone_region_precision) != regions):
+                or tuple(module.backbone_region_precision) != regions
+                or module.backbone_resize_precision != resize):
             module = module.clone(head_precision=head_prec,
-                                  backbone_region_precision=regions)
+                                  backbone_region_precision=regions,
+                                  backbone_resize_precision=resize)
         return module
 
     # -- model forward at a fixed bucket size --------------------------------

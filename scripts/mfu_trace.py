@@ -31,7 +31,9 @@ def main():
     dev = jax.devices()[0]
     print(f"device: {dev.platform} {dev.device_kind}", flush=True)
 
-    module = GRNetCore(head_precision="default")
+    # the qualified production default (= GRNetRunner's resolved module)
+    module = GRNetCore(head_precision="default",
+                       backbone_region_precision=(("heads", "w2x"),))
     rng = jax.random.PRNGKey(0)
     images = jax.random.normal(rng, (batch, 224, 224, 3), jnp.float32)
     variables = module.init(rng, images[:1])

@@ -47,7 +47,13 @@ def test_runner_default_mode_is_qualified():
 
         runner = R(GRNet.create(init_img=32), buckets=(4,), crop_size=32)
         assert runner.resolved_region_precision() == (("heads", "w2x"),)
-        study_mode = "bb_high+head_default+smpl_high+heads_w2x"
+        assert runner.resolved_resize_precision() == "high"
+        # float32 parity must keep bit-faithful resizes and no regions
+        parity = R(GRNet.create(init_img=32), buckets=(4,), crop_size=32,
+                   precision="float32")
+        assert parity.resolved_region_precision() == ()
+        assert parity.resolved_resize_precision() == "highest"
+        study_mode = "bb_high+head_default+smpl_high+heads_w2x+resize_high"
     modes = {r["mode"]: r for r in _study()["results"]}
     assert study_mode in modes, study_mode
     r = modes[study_mode]
