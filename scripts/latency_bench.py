@@ -60,7 +60,10 @@ def main():
     dev = jax.devices()[0]
     log(f"device: {dev.platform} {dev.device_kind}")
 
-    module = GRNetCore(head_precision="default")  # qualified mixed mode
+    # the qualified mixed mode (= GRNetRunner's resolved r4 default)
+    module = GRNetCore(head_precision="default",
+                       backbone_region_precision=(("heads", "w2x"),),
+                       backbone_resize_precision="high")
     rng = jax.random.PRNGKey(0)
     variables = module.init(rng, jnp.zeros((1, 224, 224, 3), jnp.float32))
     smpl = body_smpl.synthetic_smpl_params()
@@ -141,7 +144,8 @@ def main():
         print(json.dumps(row), flush=True)
 
     out = {
-        "mode": "backbone high + head bf16 (qualified, docs/PRECISION.json)",
+        "mode": "backbone high + heads w2x + resize high + head bf16 "
+                "(qualified r4 default, docs/PRECISION.json)",
         "device": f"{dev.platform} {dev.device_kind}",
         "method": "ms_device = slope((2N-N) fori_loop programs)/N with "
                   "full-reduction carry; ms_dispatch = python chain incl. "
@@ -153,6 +157,7 @@ def main():
                         "LATENCY.json")
     with open(os.path.abspath(path), "w") as f:
         json.dump(out, f, indent=1)
+        f.write("\n")
     print(json.dumps({"summary": rows}))
 
 
