@@ -5,3 +5,7 @@ from gaitlab.parallel.mesh import (  # noqa: F401
     param_shardings,
     shard_params,
 )
+from gaitlab.parallel.pipeline import (  # noqa: F401
+    GRNetPipeline,
+    split_variables,
+)

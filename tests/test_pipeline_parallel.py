@@ -1,0 +1,80 @@
+"""2-stage pipeline parallelism (gaitlab/parallel/pipeline.py).
+
+Runs on the virtual 8-device CPU mesh (conftest): backbone stage on
+devices 0-3, head+SMPL stage on devices 4-7, each group data-parallel
+inside. The pipeline's outputs must match the unsharded GRNet.forward
+bit-for-near (only f32 reduction order may differ). SURVEY section 2C's
+last row; the reference has no distributed analogue.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from gaitlab.nn.grnet import GRNet
+from gaitlab.parallel.pipeline import GRNetPipeline, split_variables
+
+TINY = dict(backbone_width=8, num_input_features=120,
+            num_features_pare=32, num_features_smpl=16,
+            backbone_modules=(1, 1, 1), backbone_blocks=1)
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    return GRNet.create(init_img=64, **TINY)
+
+
+def test_split_variables_partitions_tree(tiny_model):
+    v0, v1 = split_variables(tiny_model.variables)
+    for coll, tree in tiny_model.variables.items():
+        keys0 = set(v0.get(coll, {}))
+        keys1 = set(v1.get(coll, {}))
+        assert keys0 == {"backbone"} & set(tree)
+        assert keys0 | keys1 == set(tree)
+        assert not keys0 & keys1
+    # each stage's group must hold only its own weights
+    n_all = len(jax.tree_util.tree_leaves(tiny_model.variables))
+    n0 = len(jax.tree_util.tree_leaves(v0))
+    n1 = len(jax.tree_util.tree_leaves(v1))
+    assert n0 + n1 == n_all and n0 > 0 and n1 > 0
+
+
+def test_pipeline_matches_unsharded(tiny_model):
+    rng = np.random.default_rng(0)
+    n = 9  # uneven: exercises the zero-padded tail microbatch
+    crops = rng.standard_normal((n, 64, 64, 3)).astype(np.float32)
+
+    ref = tiny_model.forward(crops)[0]
+
+    pipe = GRNetPipeline(tiny_model, devices=jax.devices()[:8], n_stage0=4)
+    out = pipe(crops, microbatch=4)
+
+    assert set(out) == set(ref)
+    assert {"verts", "kp_3d", "theta"} <= set(out)
+    for k in sorted(out):
+        assert out[k].shape == np.asarray(ref[k]).shape, k
+        np.testing.assert_allclose(out[k], ref[k], rtol=2e-3, atol=1e-3,
+                                   err_msg=k)
+
+
+def test_pipeline_uneven_group_split(tiny_model):
+    """A 2+6 split (backbone-heavy models want the reverse) still agrees."""
+    rng = np.random.default_rng(1)
+    crops = rng.standard_normal((7, 64, 64, 3)).astype(np.float32)
+    ref = tiny_model.forward(crops)[0]
+    pipe = GRNetPipeline(tiny_model, devices=jax.devices()[:8], n_stage0=2)
+    out = pipe(crops, microbatch=6)  # divides both groups (2 and 6)
+    np.testing.assert_allclose(out["kp_3d"], ref["kp_3d"], rtol=2e-3,
+                               atol=1e-3)
+
+
+def test_pipeline_rejects_bad_configs(tiny_model):
+    with pytest.raises(ValueError, match="microbatch"):
+        GRNetPipeline(tiny_model, devices=jax.devices()[:8], n_stage0=3)(
+            np.zeros((4, 64, 64, 3), np.float32), microbatch=4)
+    with pytest.raises(ValueError, match="devices"):
+        GRNetPipeline(tiny_model, devices=jax.devices()[:1])
+    gait = GRNet.create(init_img=64, use_gait_feat=True,
+                        featcorr_h_size=32, **TINY)
+    with pytest.raises(ValueError, match="gait"):
+        GRNetPipeline(gait)
