@@ -148,6 +148,9 @@ def main_run(args) -> int:
 
 
 def main_cli(argv=None) -> int:
+    from gaitlab.utils import enable_compile_cache
+
+    enable_compile_cache()  # export-time compiles land in the warm cache
     args = build_parser().parse_args(argv)
     return main_export(args) if args.cmd == "export" else main_run(args)
 

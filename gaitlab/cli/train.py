@@ -89,6 +89,9 @@ def main(args):
     import optax
 
     from gaitlab import training
+    from gaitlab.utils import enable_compile_cache
+
+    enable_compile_cache()  # repeat train-step shapes compile warm
     from gaitlab.cli.demo import load_model
     from gaitlab.utils import AverageMeter, create_logger
     from gaitlab.weights import cache as wcache

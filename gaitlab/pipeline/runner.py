@@ -77,6 +77,9 @@ class GRNetRunner:
     _fwd_cache: dict = field(default_factory=dict, repr=False)
 
     def __post_init__(self):
+        from gaitlab.utils import enable_compile_cache
+
+        enable_compile_cache()  # repeat program shapes compile warm
         if self.buckets is None:
             import os
 

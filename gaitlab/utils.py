@@ -76,6 +76,30 @@ class StageTimer:
         return num_frames / dt if dt > 0 else 0.0
 
 
+def enable_compile_cache(cache_dir: Optional[str] = None) -> bool:
+    """Turn on JAX's persistent compilation cache (idempotent).
+
+    Cold XLA compiles dominate every cold start on this stack — the full
+    qualified GRNet takes 146-470s through the TPU tunnel and 3-5 min on
+    CPU — while cached repeat compiles load in seconds (measured 470s ->
+    15.7s, bench.py). Called by the runner and every CLI entry point so
+    any repeat invocation of the same program shape is warm. Opt out with
+    GAITLAB_NO_COMPILE_CACHE=1 (e.g. when diagnosing compiler issues).
+    Returns True when the cache is active.
+    """
+    import jax
+
+    if os.environ.get("GAITLAB_NO_COMPILE_CACHE"):
+        return False
+    cache_dir = cache_dir or os.path.expanduser("~/.cache/gaitlab/xla")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        return True
+    except Exception:
+        return False  # older jax without the persistent cache
+
+
 @contextlib.contextmanager
 def profile_trace(logdir: Optional[str] = None):
     """jax.profiler trace option (SURVEY.md §5 tracing plan). Set
