@@ -58,14 +58,12 @@ def main():
     # Persistent compile cache: the cold XLA:TPU compile of the full
     # qualified mode runs 150-470s on this container (tunnel-dependent);
     # cached repeat runs skip it, which keeps the driver's bench well
-    # inside its clock. Same cache dir as __graft_entry__.
-    try:
-        jax.config.update(
-            "jax_compilation_cache_dir",
-            os.path.expanduser("~/.cache/gaitlab/xla"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception as e:  # older jax: cold compiles only
-        log(f"compile cache unavailable: {e}")
+    # inside its clock. Same cache dir + opt-out env var as everywhere
+    # else (gaitlab.utils.enable_compile_cache).
+    from gaitlab.utils import enable_compile_cache
+
+    if not enable_compile_cache():
+        log("compile cache disabled/unavailable: cold compiles only")
 
     dev = jax.devices()[0]
     log(f"device: {dev.platform} {dev.device_kind}")

@@ -103,6 +103,17 @@ def build_parser() -> argparse.ArgumentParser:
                         "parity; 'default' = fast single-pass bf16 "
                         "(~14 mm, error-tolerant bulk only). "
                         "docs/PRECISION.json has the full study.")
+    p.add_argument("--parallel", type=str, default=None,
+                   choices=["dp", "pp"],
+                   help="multi-chip strategy (extension flag): 'dp' "
+                        "shards frame batches over all local devices "
+                        "(zero inter-chip bytes — the production choice); "
+                        "'pp' runs a 2-stage GPipe pipeline "
+                        "(backbone group | head+SMPL group, ~3 MB/frame "
+                        "boundary traffic — wins only when stage weights "
+                        "exceed one chip's HBM or batch-1 latency must "
+                        "shrink below one chip's forward; "
+                        "docs/PERFORMANCE.md §Scaling).")
     return p
 
 
@@ -278,6 +289,9 @@ def _runner_kwargs(args) -> dict:
     prec = getattr(args, "precision", None)
     if prec:
         kw["precision"] = prec
+    par = getattr(args, "parallel", None)
+    if par:
+        kw["parallel"] = par
     return kw
 
 

@@ -147,21 +147,42 @@ class GRNetPipeline:
         self._stage1 = jax.jit(
             stage1, in_shardings=(rep1, rep1, batch1))
 
-    def __call__(self, crops_nhwc, microbatch: int) -> dict:
+    def default_microbatch(self, n: int, target: int = 32) -> int:
+        """Smallest valid microbatch >= min(target, n).
+
+        A microbatch must divide by BOTH stage group sizes (each stage is
+        internally data-parallel), i.e. be a multiple of lcm(dp0, dp1).
+        Picks the first multiple at or above `target` (capped so a short
+        clip doesn't get one giant padded tick). Exposed so callers never
+        have to reason about group sizes; __call__ uses it when
+        `microbatch` is omitted.
+        """
+        base = int(np.lcm(self._dp0, self._dp1))
+        want = max(1, min(target, n if n > 0 else target))
+        return base * max(1, -(-want // base))
+
+    def __call__(self, crops_nhwc, microbatch: Optional[int] = None) -> dict:
         """Run N crops through the 2-stage pipeline.
 
         `microbatch` is the per-tick batch (pad-to-static: the tail
         microbatch is zero-padded and the padding sliced off at the end,
-        the same static-shape discipline as the bucketed runner). Returns
-        the vp_regress batch-element dict in `GRNet.forward`'s layout:
-        every value shaped (1, N, ...) — one track of N frames.
+        the same static-shape discipline as the bucketed runner); when
+        omitted, a valid size is chosen automatically
+        (`default_microbatch`). Returns the vp_regress batch-element dict
+        in `GRNet.forward`'s layout: every value shaped (1, N, ...) — one
+        track of N frames.
         """
+        crops = jnp.asarray(crops_nhwc)
+        n = crops.shape[0]
+        if n == 0:
+            raise ValueError("GRNetPipeline needs at least one frame")
+        if microbatch is None:
+            microbatch = self.default_microbatch(n)
         if microbatch % self._dp0 or microbatch % self._dp1:
             raise ValueError(
                 f"microbatch={microbatch} must divide by both stage "
-                f"groups ({self._dp0}, {self._dp1})")
-        crops = jnp.asarray(crops_nhwc)
-        n = crops.shape[0]
+                f"groups ({self._dp0}, {self._dp1}); "
+                f"default_microbatch() picks one")
         n_mb = -(-n // microbatch)
         pad = n_mb * microbatch - n
         if pad:

@@ -74,12 +74,37 @@ class GRNetRunner:
     # batch_generation path needs only kp_3d — don't fetch what you don't
     # need.
     fetch: Optional[Sequence[str]] = None
+    # Multi-chip strategy. None: single chip (or whatever `mesh` says).
+    # "dp": data parallel — builds a 1-D mesh over all local devices when
+    # `mesh` is not given; zero inter-chip bytes, linear throughput; the
+    # production choice (docs/PERFORMANCE.md §Scaling). "pp": GPipe-style
+    # 2-stage pipeline (backbone group | head+SMPL group,
+    # gaitlab.parallel.pipeline) — pays ~3.0 MB/frame of boundary traffic;
+    # wins only when stage weights exceed one chip's HBM or batch-1
+    # latency must shrink below one chip's forward. Gait branch: DP only.
+    parallel: Optional[str] = None
+    # "pp" only: backbone group size (default: half the devices; the
+    # backbone is ~5x the head's FLOPs, so latency-tuned splits want more).
+    pp_n_stage0: Optional[int] = None
     _fwd_cache: dict = field(default_factory=dict, repr=False)
 
     def __post_init__(self):
         from gaitlab.utils import enable_compile_cache
 
         enable_compile_cache()  # repeat program shapes compile warm
+        if self.parallel not in (None, "dp", "pp"):
+            raise ValueError(f"parallel={self.parallel!r}: use 'dp'/'pp'")
+        if self.parallel == "pp" and self.mesh is not None:
+            raise ValueError("parallel='pp' builds its own device groups; "
+                             "drop mesh= (or use parallel='dp')")
+        if self.parallel == "pp" and self.model.module.use_gait_feat:
+            raise ValueError(
+                "parallel='pp' pipelines the per-frame trunk; the gait "
+                "branch is track-sequential — use parallel='dp'")
+        if self.parallel == "dp" and self.mesh is None:
+            from gaitlab.parallel.mesh import make_mesh
+
+            self.mesh = make_mesh(len(jax.devices()))
         if self.buckets is None:
             import os
 
@@ -264,6 +289,30 @@ class GRNetRunner:
                 variables = jax.tree_util.tree_map(cast, variables)
             self._dev_vars = self._device_tree(variables)
         return self._dev_vars
+
+    def _pp_pipeline(self):
+        """Lazily built 2-stage GPipe pipeline (parallel='pp')."""
+        if getattr(self, "_pp", None) is None:
+            from gaitlab.parallel.pipeline import GRNetPipeline
+
+            self._pp = GRNetPipeline(self.model, n_stage0=self.pp_n_stage0)
+        return self._pp
+
+    def _pp_forward(self, crops) -> dict:
+        """All-at-once forward through the 2-stage pipeline.
+
+        Crops may be host uint8 (raw path) or normalized f32; microbatch
+        size is auto-selected (GRNetPipeline.default_microbatch). Output
+        matches the DP forward's key set so every downstream consumer
+        (demo/serve/api) is strategy-agnostic.
+        """
+        if isinstance(crops, np.ndarray) and crops.dtype == np.uint8:
+            crops = crop_mod.normalize_image(jnp.asarray(crops))
+        out = self._pp_pipeline()(crops)
+        keep = ("theta", "verts", "kp_2d", "kp_3d")
+        want = set(keep if self.fetch is None else self.fetch)
+        return {k: np.asarray(v[0]) for k, v in out.items()
+                if k in keep and k in want}
 
     def _bucket(self, n: int) -> int:
         i = bisect.bisect_left(self.buckets, n)
@@ -456,8 +505,21 @@ class ForwardStream:
         self.runner = runner
         self.gait = runner.model.module.use_gait_feat
         self.max_b = runner.buckets[-1]
-        self._variables = runner._trunk_variables()
-        self._smpl = runner._smpl_params()
+        # parallel="pp": the GPipe pipeline consumes the whole track at
+        # once and microbatches internally — buffer every chunk and hand
+        # off in finish(); the per-bucket dispatch machinery below idles.
+        self._pp_mode = runner.parallel == "pp"
+        if self._pp_mode:
+            if self.gait:
+                raise ValueError(
+                    "parallel='pp' pipelines the per-frame trunk; the gait "
+                    "branch is track-sequential — use parallel='dp'")
+            self.max_b = 1 << 62
+            async_dispatch = False
+            self._variables = self._smpl = None  # stages pin their own
+        else:
+            self._variables = runner._trunk_variables()
+            self._smpl = runner._smpl_params()
         self._bbox_full = bbox
         self._cimg_full = cimg
         self._buf: list = []
@@ -576,6 +638,14 @@ class ForwardStream:
         """Dispatch the tail, read back the requested keys once, merge."""
         assert not self._done, "finish() called twice"
         self._done = True
+        if self._pp_mode:
+            if not self._buffered:
+                return {}
+            xp = np if isinstance(self._buf[0], np.ndarray) else jnp
+            cat = (self._buf[0] if len(self._buf) == 1
+                   else xp.concatenate(self._buf, axis=0))
+            self._buf = []
+            return self.runner._pp_forward(cat)
         if self._buffered:
             xp = np if isinstance(self._buf[0], np.ndarray) else jnp
             cat = (self._buf[0] if len(self._buf) == 1

@@ -91,6 +91,15 @@ def enable_compile_cache(cache_dir: Optional[str] = None) -> bool:
 
     if os.environ.get("GAITLAB_NO_COMPILE_CACHE"):
         return False
+    try:
+        current = jax.config.jax_compilation_cache_dir
+    except AttributeError:
+        current = None
+    if current and cache_dir is None:
+        # An embedding application already configured a cache dir; the
+        # implicit runner-construction call must not clobber it. An
+        # explicit cache_dir argument still overrides.
+        return True
     cache_dir = cache_dir or os.path.expanduser("~/.cache/gaitlab/xla")
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
