@@ -336,6 +336,44 @@ def install_misc_shims():
         for m in (tv, models, resnet, transforms, tfunc):
             sys.modules[m.__name__] = m
 
+    if "skimage" not in sys.modules:
+        # lib/data_utils/img_utils.py:24 imports view_as_windows (used only
+        # by split_into_chunks:378); a faithful stride-tricks implementation
+        # keeps that path testable too.
+        skimage = types.ModuleType("skimage")
+        util = types.ModuleType("skimage.util")
+        shape_mod = types.ModuleType("skimage.util.shape")
+
+        def view_as_windows(arr, window_shape, step=1):
+            arr = np.asarray(arr)
+            if isinstance(window_shape, int):
+                window_shape = (window_shape,)
+            if isinstance(step, int):
+                step = (step,) * arr.ndim
+            win = tuple(window_shape) + (1,) * (arr.ndim - len(window_shape))
+            out_shape = tuple(
+                (s - w) // st + 1 for s, w, st in zip(arr.shape, win, step)
+            ) + tuple(win)
+            strides = tuple(s * st for s, st in zip(arr.strides, step)) + arr.strides
+            return np.lib.stride_tricks.as_strided(arr, out_shape, strides)
+
+        shape_mod.view_as_windows = view_as_windows
+        util.shape = shape_mod
+        skimage.util = util
+        for m in (skimage, util, shape_mod):
+            sys.modules[m.__name__] = m
+
+    if "pytube" not in sys.modules:
+        # lib/utils/demo_utils.py:25 — only download_youtube_clip touches it
+        pytube = types.ModuleType("pytube")
+
+        class YouTube:  # pragma: no cover - zero-egress container
+            def __init__(self, *a, **k):
+                raise RuntimeError("no network egress in this environment")
+
+        pytube.YouTube = YouTube
+        sys.modules["pytube"] = pytube
+
     if "timm" not in sys.modules:
         timm = types.ModuleType("timm")
         tmodels = types.ModuleType("timm.models")
