@@ -35,7 +35,15 @@ def render_video(
     joint_type: str = "spin2",
     smpl_faces: Optional[np.ndarray] = None,
     seed: int = 0,
-    renderer: str = "painter",  # "painter" (host) or "zbuffer" (JAX device)
+    # Mesh renderer: "auto" resolves to the measured fastest-correct
+    # choice for the host (docs/RENDER_BENCH.json): the cv2 painter at
+    # ~52 ms/person-frame. "zbuffer" is the exact hidden-surface JAX
+    # rasterizer (98.5% pixel-identical to the painter on an SMPL-scale
+    # mesh; the delta is painter overdraw at shared edges) — use it for
+    # correctness cross-checks or co-located accelerators; XLA:CPU's
+    # serial scatter makes it ~70x slower on hosts, and through a
+    # tunneled device the frame round trip dominates.
+    renderer: str = "auto",
     display: bool = False,
 ) -> str:
     """Write the overlay video next to the pkl (reference demo.py:270-387).
