@@ -208,7 +208,9 @@ def make_gait_train_step(
 
 
 def synthetic_gait_batch(b: int, t: int = 32, j: int = 24, c: int = 16,
-                         noise: float = 0.5, seed: int = 0) -> dict:
+                         noise: float = 0.5, seed: int = 0,
+                         freq_range=(0.05, 0.25), amp_range=(0.5, 2.0),
+                         duty_range=(0.3, 0.7), cam_sway: float = 0.1) -> dict:
     """Synthetic gait-labeled sequences for the gait-branch trainer.
 
     A walking cycle is simulated as per-joint sinusoids riding a shared
@@ -224,9 +226,9 @@ def synthetic_gait_batch(b: int, t: int = 32, j: int = 24, c: int = 16,
     changes per batch and the task is unlearnable.
     """
     rng = np.random.default_rng(seed)
-    freq = rng.uniform(0.05, 0.25, size=(b, 1))          # cycles/frame
-    amp = rng.uniform(0.5, 2.0, size=(b, 1))
-    duty = rng.uniform(0.3, 0.7, size=(b, 1))
+    freq = rng.uniform(*freq_range, size=(b, 1))         # cycles/frame
+    amp = rng.uniform(*amp_range, size=(b, 1))
+    duty = rng.uniform(*duty_range, size=(b, 1))
     phase0 = rng.uniform(0, 2 * np.pi, size=(b, 1))
     theta = 2 * np.pi * freq * np.arange(t)[None, :] + phase0  # (B,T)
 

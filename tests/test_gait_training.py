@@ -261,3 +261,19 @@ def test_robustness_artifact():
             if r["corruption"] == "dropout"}
     assert drop[0.4] < 0.5, "40% dropout should still be usable"
     assert drop[0.0] < drop[0.4], "corruption-free must be the best case"
+
+    # distribution-shift cells (VERDICT r4 weak #6): a corrector trained
+    # ONLY on regime A must generalize to disjoint regimes (non-
+    # overlapping gait-frequency band, 2.5x camera sway, 1.6x noise,
+    # disjoint seed families), not just its training band
+    tr = {r["cell"]: r for r in study["transfer"]["results"]}
+    assert set(tr) == {"in_regime_holdout", "shifted_freq_band",
+                       "shifted_freq_cam_noise"}
+    for cell, r in tr.items():
+        assert r["trained_beats_untrained"], r
+        assert r["phase_err_trained"] < 0.5 * r["phase_err_untrained"], r
+    # transfer costs something (honesty check: the shifted cells are
+    # genuinely out of regime) but stays usable
+    assert tr["shifted_freq_band"]["phase_err_trained"] > \
+        tr["in_regime_holdout"]["phase_err_trained"]
+    assert tr["shifted_freq_band"]["phase_err_trained"] < 0.3
