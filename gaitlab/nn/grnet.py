@@ -57,6 +57,10 @@ class GRNetCore(nn.Module):
     # Activation-dtype casts at backbone region boundaries (HRNetCfg
     # .cast_after) — the bf16-trunk hybrid knob.
     backbone_cast_after: tuple = ()
+    # Narrow activation STORAGE inside backbone regions (HRNetCfg
+    # .act_store) — the layer1 HBM-traffic probe (docs/PRECISION.json
+    # `+l1act16`); pair with backbone_region_precision (region, "w2x").
+    backbone_act_store: tuple = ()
     # Space-to-depth packed stem conv (HRNetCfg.stem_s2d experiment).
     stem_s2d: bool = False
     # Stage depth (HRNetCfg.w modules/blocks): deployed topology is
@@ -97,6 +101,7 @@ class GRNetCore(nn.Module):
                        pack_low_channel=self.pack_low_channel,
                        region_precision=self.backbone_region_precision,
                        cast_after=self.backbone_cast_after,
+                       act_store=self.backbone_act_store,
                        stem_s2d=self.stem_s2d,
                        modules=self.backbone_modules,
                        blocks=self.backbone_blocks,

@@ -77,6 +77,18 @@ class HRNetCfg:
     # the bf16-trunk hybrid modes ("stem at f32, rest of the trunk in
     # bf16"): pair with param trees cast per-subtree outside the module.
     cast_after: tuple = ()
+    # Activation STORAGE dtype inside a region: (region, dtype) pairs.
+    # Unlike cast_after (a single boundary cast, deletable by XLA's
+    # convert-pair simplifier when every consumer upcasts), this stores
+    # the region's residual stream as genuine narrow arrays at every
+    # block boundary via layers.bf16_store, with the region's convs
+    # consuming them natively (pair with region_precision=(region,"w2x")
+    # so conv_w2x's bf16 path carries the kernel to ~16 mantissa bits).
+    # The MFU-trace-nominated HBM-traffic probe for layer1
+    # (docs/MFU_TRACE.json: 10.5 ms streaming 56²x256 f32 activations at
+    # 75% of HBM peak); measured in docs/PRECISION.json `+l1act16`.
+    # Currently honored for "layer1" only.
+    act_store: tuple = ()
     # Evaluate the first stem conv on the space-to-depth packed grid
     # (StemConvS2D): identical math, weights interchangeable. Inference-
     # only experiment for the 3-channel lane-starved stem (scripts/
@@ -93,6 +105,7 @@ class HRNetCfg:
           pack_low_channel: int = 0,
           region_precision: tuple = (),
           cast_after: tuple = (),
+          act_store: tuple = (),
           stem_s2d: bool = False,
           modules: tuple = (1, 4, 3),
           blocks: int = 4,
@@ -110,6 +123,7 @@ class HRNetCfg:
             pack_low_channel=pack_low_channel,
             region_precision=tuple(region_precision),
             cast_after=tuple(cast_after),
+            act_store=tuple(act_store),
             stem_s2d=stem_s2d,
             resize_precision=resize_precision,
             stage2=StageCfg(modules[0], 2, (blocks,) * 2,
@@ -352,10 +366,22 @@ class PoseHighResolutionNet(nn.Module):
 
         # layer1: 4 Bottlenecks 64->256
         in_ch = 64
+        l1_store = dict(self.cfg.act_store).get("layer1")
         with self._prec("layer1"):
             for b in range(4):
+                if l1_store is not None:
+                    # store the residual stream narrow at every block
+                    # boundary (incl. the stem->layer1 entry); convs under
+                    # the region's w2x mode consume the bf16 natively
+                    from gaitlab.nn.layers import bf16_store
+
+                    x = bf16_store(x)
                 x = Bottleneck(64, 1, has_downsample=(b == 0),
                                name=f"layer1_{b}")(x, train)
+        if l1_store is not None:
+            from gaitlab.nn.layers import bf16_store
+
+            x = bf16_store(x)
         if self.stop_after == "layer1":
             return x
         x = self._cast_after("layer1", x)

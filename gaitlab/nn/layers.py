@@ -212,18 +212,39 @@ def conv_w2x(x: Array, kernel: Array, stride: int = 1,
     The split uses mantissa-bit masking, NOT a bf16 round-trip cast:
     XLA's algebraic simplifier deletes f32->bf16->f32 convert pairs, which
     silently turns the cast-based split into k_hi = k, k_lo = 0 — i.e.
-    plain DEFAULT (measured: identical outputs, bit for bit)."""
+    plain DEFAULT (measured: identical outputs, bit for bit).
+
+    bfloat16 inputs take a storage-preserving path: x stays bf16 end to
+    end (the whole point of bf16 activation STORAGE is halving HBM
+    traffic; upcasting back to f32 would re-insert the deletable convert
+    pair and a 4-byte buffer) and the kernel halves are fed as true bf16
+    arrays with f32 accumulation via preferred_element_type. The math is
+    identical to the f32 path — DEFAULT-precision MXU passes round the
+    activation to bf16 anyway — so this is the same 2-pass product with
+    half the activation bytes. Note "high" (bf16_3x) on a bf16-stored
+    activation DEGENERATES to exactly this: x_lo = 0 kills the third
+    pass, so w2x-with-bf16-storage is the faithful realization of
+    "bf16 activation storage under high matmuls"."""
     if padding is None:
         padding = (kernel.shape[0] - 1) // 2
-    k = kernel.astype(jnp.float32)
-    k_hi = _bf16_hi(k)
-    k_lo = _bf16_hi(k - k_hi)
     dn = ("NHWC", "HWIO", "NHWC")
     args = dict(window_strides=(stride, stride),
                 padding=((padding, padding), (padding, padding)),
-                dimension_numbers=dn,
-                precision=jax.lax.Precision.DEFAULT)
+                dimension_numbers=dn)
+    k = kernel.astype(jnp.float32)
+    k_hi = _bf16_hi(k)
+    k_lo = _bf16_hi(k - k_hi)
+    if x.dtype == jnp.bfloat16:
+        # masked halves are exactly bf16-representable: the converts are
+        # value-preserving (no rounding beyond the split itself)
+        return (jax.lax.conv_general_dilated(
+                    x, k_hi.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32, **args)
+                + jax.lax.conv_general_dilated(
+                    x, k_lo.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32, **args))
     x = x.astype(jnp.float32)
+    args["precision"] = jax.lax.Precision.DEFAULT
     return (jax.lax.conv_general_dilated(x, k_hi, **args)
             + jax.lax.conv_general_dilated(x, k_lo, **args))
 
@@ -236,6 +257,27 @@ def _bf16_hi(a: Array) -> Array:
     bits = jax.lax.bitcast_convert_type(a, jnp.uint32)
     return jax.lax.bitcast_convert_type(
         bits & jnp.uint32(0xFFFF0000), jnp.float32)
+
+
+def bf16_store(x: Array) -> Array:
+    """Round f32 activations to a GENUINE bfloat16 array for storage.
+
+    A plain astype(bf16) is unsafe as a storage cast: every f32 consumer
+    re-upcasts, and XLA's simplifier deletes the f32->bf16->f32 pair,
+    silently restoring the 4-byte buffer (same failure mode _bf16_hi
+    guards against). Masking the mantissa FIRST makes the value exactly
+    bf16-representable, so the residual convert pair around any f32
+    consumer is value-preserving — the simplifier may collapse it without
+    changing numerics, and the bf16 buffer itself survives for the
+    consumers that take bf16 natively (conv_w2x's bf16 path). The mask
+    applies round-to-nearest-even in integer space (the same rounding a
+    hardware f32->bf16 convert uses), so the stored value matches what
+    astype(bf16) would have produced."""
+    bits = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.uint32)
+    bits = bits + jnp.uint32(0x7FFF) + ((bits >> 16) & jnp.uint32(1))
+    rounded = jax.lax.bitcast_convert_type(
+        bits & jnp.uint32(0xFFFF0000), jnp.float32)
+    return rounded.astype(jnp.bfloat16)
 
 
 def conv_a2x(x: Array, kernel: Array, stride: int = 1,

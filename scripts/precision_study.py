@@ -140,6 +140,16 @@ def parse_mode(mode: str):
     regions = ()
     trunk16 = False
     f32_stem = False
+    l1act16 = mode.endswith("+l1act16")
+    if l1act16:
+        # layer1 activations STORED as genuine bf16 at every block
+        # boundary, convs consuming them natively via the region's w2x
+        # mode (the faithful "bf16 activation storage under high
+        # matmuls": x_lo = 0 degenerates bf16_3x to the 2-pass kernel
+        # split). The MFU-trace-nominated probe for the one remaining
+        # HBM-bound block (layer1: 10.5 ms at 75% of HBM peak streaming
+        # 56²x256 f32).
+        mode = mode[: -len("+l1act16")]
     s2d = mode.endswith("+s2d")
     if s2d:
         mode = mode[: -len("+s2d")]
@@ -204,7 +214,10 @@ def parse_mode(mode: str):
         raise ValueError(mode)
     if heads_2p:
         regions += (("heads", heads_2p),)
-    return bb_p, hd_p, sm_p, regions, trunk16, f32_stem, s2d, resize_high
+    if l1act16:
+        regions += (("layer1", "w2x"),)
+    return (bb_p, hd_p, sm_p, regions, trunk16, f32_stem, s2d, resize_high,
+            l1act16)
 
 
 def make_forward(model, mode: str):
@@ -215,16 +228,18 @@ def make_forward(model, mode: str):
     from gaitlab.nn.grnet import vp_regress
 
     (bb_p, hd_p, sm_p, regions, trunk16, f32_stem, s2d,
-     resize_high) = parse_mode(mode)
+     resize_high, l1act16) = parse_mode(mode)
     smpl = model.smpl
     module = model.module
-    if regions or f32_stem or s2d or resize_high:
+    if regions or f32_stem or s2d or resize_high or l1act16:
         # clone the study model's module so any non-default configuration
         # it carries is preserved — param structure/names are unchanged,
         # so the imported variables apply as-is
         module = module.clone(
             backbone_region_precision=regions,
             backbone_cast_after=(("stem", "bfloat16"),) if f32_stem else (),
+            backbone_act_store=(
+                (("layer1", "bfloat16"),) if l1act16 else ()),
             stem_s2d=s2d,
             backbone_resize_precision="high" if resize_high else "highest")
 

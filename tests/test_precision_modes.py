@@ -189,3 +189,70 @@ def test_conv_w2x_matches_conv_and_param_paths(rng):
     out_w2x = m_w2x.apply(v_std, img + 0.5)
     np.testing.assert_allclose(np.asarray(out_w2x), np.asarray(out_std),
                                rtol=1e-3, atol=1e-4)
+
+
+def test_bf16_store_and_conv_w2x_bf16_path(rng):
+    """layers.bf16_store rounds exactly like a hardware f32->bf16 convert
+    (RNE) while staying simplifier-proof, and conv_w2x's bf16-input path
+    computes the same 2-pass product as the f32 path's math — the layer1
+    activation-storage probe (docs/PRECISION.json `+l1act16`)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gaitlab.nn.layers import _bf16_hi, bf16_store, conv_w2x
+
+    x = rng.normal(size=(2, 8, 8, 16)).astype(np.float32)
+    k = rng.normal(size=(3, 3, 16, 8)).astype(np.float32)
+
+    xs = bf16_store(jnp.asarray(x))
+    assert xs.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(xs, np.float32),
+        np.asarray(jnp.asarray(x).astype(jnp.bfloat16), np.float32))
+
+    got = conv_w2x(xs, jnp.asarray(k))
+    assert got.dtype == jnp.float32
+    k_hi = np.asarray(_bf16_hi(k))
+    k_lo = np.asarray(_bf16_hi(k - k_hi))
+    ref = jax.lax.conv_general_dilated(
+        np.asarray(xs, np.float32), k_hi + k_lo, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=jax.lax.Precision.HIGHEST)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=3e-4, atol=1e-4)
+
+
+def test_act_store_layer1(rng):
+    """HRNetCfg.act_store=('layer1','bfloat16'): the variable tree is
+    unchanged (torch import untouched), bf16 genuinely enters layer1's
+    convolutions (jaxpr-level — the storage intent XLA must honor), and
+    the output stays close to the plain model (only bf16 activation
+    rounding at 5 block boundaries separates them)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gaitlab.nn import hrnet as hrnet_mod
+
+    cfg_std = hrnet_mod.HRNetCfg.w(8, modules=(1, 1, 1), blocks=1)
+    cfg_act = hrnet_mod.HRNetCfg.w(
+        8, modules=(1, 1, 1), blocks=1,
+        region_precision=(("layer1", "w2x"),),
+        act_store=(("layer1", "bfloat16"),))
+    m_std = hrnet_mod.PoseHighResolutionNet(cfg_std)
+    m_act = hrnet_mod.PoseHighResolutionNet(cfg_act)
+    img = jnp.asarray(rng.normal(size=(1, 64, 64, 3)).astype(np.float32))
+    v = m_std.init(jax.random.PRNGKey(0), img)
+    assert (jax.tree_util.tree_structure(v)
+            == jax.tree_util.tree_structure(
+                m_act.init(jax.random.PRNGKey(0), img)))
+
+    jaxpr = str(jax.make_jaxpr(lambda v, x: m_act.apply(v, x))(v, img))
+    assert "bf16[" in jaxpr, "no bf16 arrays in the act_store graph"
+
+    out_std = np.asarray(m_std.apply(v, img))
+    out_act = np.asarray(m_act.apply(v, img))
+    assert np.isfinite(out_act).all()
+    np.testing.assert_allclose(out_act, out_std, rtol=0.1, atol=0.05)
+    assert np.abs(out_act - out_std).max() > 0, (
+        "act_store changed nothing — the bf16 storage was optimized away "
+        "at trace level")
