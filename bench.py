@@ -24,8 +24,24 @@ dependency chain (iteration i+1 consumes a scalar from iteration i's
 output) and one final host fetch — wall-clock then covers real device
 execution.
 
+Accuracy tripwire (VERDICT r4 #7): throughput honesty alone would let a
+numeric regression in the qualified mode ship silently (the mode string
+is just a string). Every bench run therefore also compares the qualified
+forward's kp_3d on a fixed batch against a committed float32-parity
+golden (tests/golden/bench_golden.npz — f32 math of a deterministic
+computation, generated backend-neutrally by
+scripts/make_bench_golden.py; GAITLAB_BENCH_WRITE_GOLDEN=1 regenerates
+it on-device instead) and reports accuracy_ok in the JSON line.
+BatchNorm running stats are calibrated on-device first — fresh-init
+(0,1) stats collapse a random-weight conv stack into an input-
+independent function, which would make the comparison vacuous
+(training.calibrate_all_bn — backbone AND PARE head; same treatment as
+the precision study's torch oracle). A joint-spread guard asserts input
+sensitivity.
+
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "frames/s", "vs_baseline": N/300}
+  {"metric": ..., "value": N, "unit": "frames/s", "vs_baseline": N/300,
+   "accuracy_mpjpe_mm": N, "accuracy_ok": true}
 """
 
 from __future__ import annotations
@@ -77,6 +93,20 @@ def main():
     variables = module.init(rng, images[:1])
     smpl = body_smpl.synthetic_smpl_params()
 
+    # BN calibration (deterministic: fixed weights + fixed images) so the
+    # accuracy tripwire below compares an input-SENSITIVE function
+    from gaitlab.training import calibrate_all_bn
+
+    # "highest" pins the calibration forward to f32 math, so the batch
+    # stats (and therefore the probe comparison) are identical whether
+    # the golden was generated here or by the CPU generator
+    # (scripts/make_bench_golden.py) — default bf16 matmuls would bake
+    # backend-dependent rounding into the stats themselves
+    t0 = time.perf_counter()
+    with jax.default_matmul_precision("highest"):
+        variables = calibrate_all_bn(module, variables, images[:32])
+    log(f"BN calibration: {time.perf_counter() - t0:.1f}s")
+
     @jax.jit
     def fwd(variables, smpl, images, bias):
         with jax.default_matmul_precision("high"):
@@ -99,6 +129,60 @@ def main():
     t0 = time.perf_counter()
     chain(1)
     log(f"compile+first-run: {time.perf_counter() - t0:.1f}s")
+
+    # ---- accuracy tripwire -------------------------------------------------
+    # Two metrics: kp_3d in mm (interpretable, but structurally small in
+    # this regime — the synthetic SMPL is a random blob whose joints
+    # cluster near the centroid) and theta (cam+pose+shape — the model's
+    # DIRECT output, where the precision-sensitive signal lives).
+    GOLDEN = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "tests", "golden", "bench_golden.npz")
+    N_ACC = 8
+    out0 = fwd(variables, smpl, images, jnp.zeros(()))
+    kp3d = np.asarray(out0[0][0][:N_ACC], np.float32)
+    theta = np.asarray(out0[1][0][:N_ACC], np.float32)
+    spread_mm = float(np.linalg.norm(
+        kp3d - kp3d.mean(0), axis=-1).mean() * 1000.0)
+    spread_th = float(np.abs(theta - theta.mean(0)).mean())
+    log(f"accuracy probe spreads across {N_ACC} frames: "
+        f"kp_3d {spread_mm:.2f} mm, theta {spread_th:.4f}")
+    assert spread_mm > 3.0 and spread_th > 0.03, (
+        f"degenerate probe (spreads {spread_mm:.2f} mm / {spread_th:.4f})"
+        f" — BN calibration broke; the accuracy comparison is vacuous")
+    if os.environ.get("GAITLAB_BENCH_WRITE_GOLDEN"):
+        # float32-parity forward of the SAME calibrated weights/batch
+        parity = module.clone(head_precision=None,
+                              backbone_region_precision=(),
+                              backbone_resize_precision="highest")
+
+        @jax.jit
+        def fwd_parity(variables, smpl, images):
+            with jax.default_matmul_precision("float32"):
+                patt = parity.apply(variables, images)
+                out = vp_regress(smpl, patt, batch_size=1,
+                                 joint_mode="spin2")[0]
+            return out["kp_3d"], out["theta"]
+
+        gkp, gth = fwd_parity(variables, smpl, images[:N_ACC])
+        np.savez(GOLDEN, kp_3d=np.asarray(gkp[0], np.float32),
+                 theta=np.asarray(gth[0], np.float32),
+                 device=str(dev.device_kind))
+        log(f"wrote golden {GOLDEN}")
+    gold = np.load(GOLDEN)
+    acc_mm = float(np.linalg.norm(
+        kp3d - gold["kp_3d"], axis=-1).mean() * 1000.0)
+    acc_th = float(np.abs(theta - gold["theta"]).mean())
+    # budgets: the qualified mode measures ~0.37 mm MPJPE vs f32 on the
+    # study oracle (~2e-4 relative); regression regimes (single-pass
+    # bf16 trunk) measure >10 mm (~1e-2 relative). The theta tolerance
+    # (0.02 mean abs) sits between those with >10x margin each way; the
+    # kp_3d tolerance is scaled to this regime's smaller skeleton.
+    ACC_TOL_MM, ACC_TOL_TH = 1.5, 0.02
+    accuracy_ok = bool(acc_mm <= ACC_TOL_MM and acc_th <= ACC_TOL_TH)
+    log(f"accuracy vs f32 golden ({gold['device']}): kp_3d {acc_mm:.4f} "
+        f"mm (tol {ACC_TOL_MM}), theta {acc_th:.5f} (tol {ACC_TOL_TH}) "
+        f"-> {'OK' if accuracy_ok else 'REGRESSION'}")
+
     chain(2)  # warm
 
     dt = chain(ITERS)
@@ -113,6 +197,9 @@ def main():
                           "PARE head bf16 (accuracy-qualified: 0.37mm "
                           "MPJPE worst-case, docs/PRECISION.json "
                           "heads_w2x+resize_high)",
+        "accuracy_mpjpe_mm": round(acc_mm, 4),
+        "accuracy_theta_mad": round(acc_th, 5),
+        "accuracy_ok": accuracy_ok,
     }))
 
 

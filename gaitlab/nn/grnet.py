@@ -94,6 +94,12 @@ class GRNetCore(nn.Module):
     featcorr_h_size: int = 1024
     featcorr_num_heads: int = 4
     featcorr_use_jwff: bool = False
+    # Run the PARE head's BatchNorms in batch mode (PareHead.train_bn):
+    # needed by full-model BN calibration (training.calibrate_all_bn) —
+    # the head has its own BNs whose running stats otherwise never leave
+    # fresh-init (0,1), which collapses random-weight probes into
+    # input-independent functions just like the backbone's would.
+    head_train_bn: bool = False
 
     def setup(self):
         self.backbone = PoseHighResolutionNet(
@@ -114,6 +120,7 @@ class GRNetCore(nn.Module):
             num_features_pare=self.num_features_pare,
             num_features_smpl=self.num_features_smpl,
             use_pallas_attention=self.use_pallas_attention,
+            train_bn=self.head_train_bn,
             name="head",
         )
         if self.use_gait_feat:

@@ -325,13 +325,46 @@ def calibrate_backbone_bn(module: GRNetCore, variables, images) -> dict:
     old = variables["batch_stats"]
     upd = mut["batch_stats"]
 
+    return {**variables, "batch_stats": _extrapolate_bn_stats(upd, old)}
+
+
+def _extrapolate_bn_stats(upd, old):
+    """Recover exact batch statistics from one momentum-0.9 update.
+
+    Runs on HOST numpy: a per-leaf jnp tree_map here dispatches ~4 eager
+    ops x ~250 BN-stat leaves = ~1000 tiny device programs — harmless
+    locally, but through the axon tunnel that op-storm is slow at best
+    and has twice wedged the tunnel client outright (bench.py round 5).
+    One D2H fetch of the few-MB stats + host math + one re-upload by the
+    caller is the chatty-dispatch discipline CLAUDE.md prescribes
+    everywhere else."""
+    upd = jax.device_get(upd)
+    old = jax.device_get(old)
+
     def extrapolate(path, u, o):
-        b = (u - 0.9 * o) / 0.1
+        b = (np.asarray(u) - 0.9 * np.asarray(o)) / 0.1
         if any(getattr(p, "key", None) == "var" for p in path):
-            b = jnp.maximum(b, 1e-6)  # variance must stay positive
+            b = np.maximum(b, 1e-6)  # variance must stay positive
         return b
 
-    new_bs = jax.tree_util.tree_map_with_path(extrapolate, upd, old)
+    return jax.tree_util.tree_map_with_path(extrapolate, upd, old)
+
+
+def calibrate_all_bn(module: GRNetCore, variables, images) -> dict:
+    """Full-model BN calibration: backbone AND PARE head in one
+    train-mode pass (the head's BNs switch to batch mode via the
+    GRNetCore.head_train_bn clone — PareHead gates them on an attribute,
+    not the call-time train flag). Needed by random-weight probes that
+    consume head outputs (bench.py's accuracy tripwire): calibrating only
+    the backbone leaves the head input-independent, exactly the collapse
+    calibrate_backbone_bn exists to prevent (measured: joint spread
+    across frames < 10 mm with head stats at fresh-init vs ~30 mm
+    fully calibrated)."""
+    m = module.clone(head_train_bn=True)
+    _, mut = m.apply(variables, images, train=True,
+                     mutable=["batch_stats"])
+    new_bs = _extrapolate_bn_stats(mut["batch_stats"],
+                                   variables["batch_stats"])
     return {**variables, "batch_stats": new_bs}
 
 

@@ -86,6 +86,7 @@ def main():
     precision_mode = (f"backbone {runner.precision} + head "
                       f"{runner.resolved_head_precision() or 'inherit'}"
                       + "".join(f" + {r} {p}" for r, p in regions)
+                      + f" + resize {runner.resolved_resize_precision()}"
                       + (f" + trunk {runner.trunk_dtype}"
                          if runner.trunk_dtype else ""))
 

@@ -222,6 +222,46 @@ def test_bf16_store_and_conv_w2x_bf16_path(rng):
                                rtol=3e-4, atol=1e-4)
 
 
+def test_bench_golden_sane():
+    """bench.py's accuracy-tripwire golden (committed fixture): right
+    shape, finite, and input-SENSITIVE (joint spread across frames >>0 —
+    a degenerate golden would make the tripwire comparison vacuous,
+    CLAUDE.md BN-calibration note)."""
+    g = np.load(osp.join(osp.dirname(__file__), "golden",
+                         "bench_golden.npz"))
+    gold, theta = g["kp_3d"], g["theta"]
+    assert gold.ndim == 3 and gold.shape[0] == 8 and gold.shape[2] == 3
+    assert theta.shape[0] == 8
+    assert np.isfinite(gold).all() and np.isfinite(theta).all()
+    spread_mm = float(np.linalg.norm(
+        gold - gold.mean(0), axis=-1).mean() * 1000.0)
+    spread_th = float(np.abs(theta - theta.mean(0)).mean())
+    # same guards as bench.py/make_bench_golden.py: the probe function
+    # must vary with the input well above the regression tolerances
+    assert spread_mm > 3.0 and spread_th > 0.03, (spread_mm, spread_th)
+
+
+@pytest.mark.slow
+def test_bench_golden_fresh():
+    """Recompute the golden from the deterministic recipe and compare to
+    the committed fixture — catches silent drift of the bench setup
+    (seeds, init, calibration recipe) without a TPU."""
+    import sys
+
+    sys.path.insert(0, osp.join(osp.dirname(__file__), "..", "scripts"))
+    from make_bench_golden import golden_kp3d
+
+    gold = np.load(osp.join(osp.dirname(__file__), "golden",
+                            "bench_golden.npz"))
+    fresh = golden_kp3d(backend="")  # conftest already forced CPU
+    err_mm = float(np.linalg.norm(
+        fresh["kp_3d"] - gold["kp_3d"], axis=-1).mean() * 1000.0)
+    err_th = float(np.abs(fresh["theta"] - gold["theta"]).mean())
+    assert err_mm < 0.1 and err_th < 0.002, (
+        f"committed bench golden is {err_mm:.3f} mm / {err_th:.5f} from "
+        f"the recipe — regenerate with scripts/make_bench_golden.py")
+
+
 def test_act_store_layer1(rng):
     """HRNetCfg.act_store=('layer1','bfloat16'): the variable tree is
     unchanged (torch import untouched), bf16 genuinely enters layer1's
